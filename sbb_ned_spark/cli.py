@@ -1,0 +1,71 @@
+"""spark-submit entry point for the 3-stage ER pipeline.
+
+Usage (north_rule invocation shape):
+
+    spark-submit --master local[32] --py-files sbb_ned_spark.zip \
+        sbb_ned_spark/cli.py --scale small --checkpoint-dir /tmp/ckpt [--resume]
+
+Prints one JSON line with per-stage metrics and pairwise P/R/F1 against
+the planted ground truth (the CLI analog of the reference's `ned-*`
+console scripts, `/root/reference/setup.py:27-40`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="tiny", choices=["tiny", "small", "bench"])
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--scoring-method", default="mapInPandas",
+                    choices=["mapInPandas", "applyInPandas"])
+    args = ap.parse_args(argv)
+
+    from sbb_ned_spark import fixtures
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.plans import pipeline as P
+    from sbb_ned_spark.session import get_spark
+
+    overrides = {}
+    if args.checkpoint_dir:
+        overrides["checkpoint_dir"] = args.checkpoint_dir
+    if args.threshold is not None:
+        overrides["decision_threshold"] = args.threshold
+    config = PipelineConfig(**overrides)
+
+    spark = get_spark("sbb_ned_spark-er", master=args.master, config=config)
+    t0 = time.monotonic()
+    files = fixtures.load_files_df(spark, args.scale)
+    n_files = files.count()
+    res = P.run_pipeline(
+        files, config, resume=args.resume, scoring_method=args.scoring_method
+    )
+    _, members = fixtures.generate_files_pdf(args.scale)
+    labeled = spark.createDataFrame(fixtures.generate_labeled_pairs_pdf(members))
+    quality = P.pairwise_f1(res.clusters, labeled)
+    wall = time.monotonic() - t0
+
+    out = {
+        "scale": args.scale,
+        "n_files": n_files,
+        "wall_sec": round(wall, 3),
+        "files_per_sec": round(n_files / wall, 3),
+        "stages": res.metrics,
+        "quality": quality,
+        "resumed": args.resume,
+    }
+    print(json.dumps(out, sort_keys=True))
+    spark.stop()
+    return 0 if quality["f1"] >= 0.99 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

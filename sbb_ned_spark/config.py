@@ -1,0 +1,59 @@
+"""Pipeline configuration.
+
+Mirrors the reference's operative constants (BASELINE.md table;
+`/root/reference/qurator/sbb_ned/webapp/de-config.json`) re-expressed for
+the code-ER workload:
+
+- ``max_key_frequency``  <- hot-key cutoff ``max_frequency``=1000
+  (`index.py:652-653, 669-674`): blocking keys matching more than this
+  many records are dropped (skew mitigation — the reference's own).
+- ``max_candidates_per_record`` <- ``max_candidates``=25
+  (`webapp/de-config.json:32`): per-record candidate cap before scoring.
+- ``decision_threshold`` <- service threshold analog
+  (`webapp/de-config.json:35`, `models/decider.py:47-48`): accept edge if
+  score >= threshold OR exact-content override (sha256 equality,
+  analog of the exact lowercase surface==title override `decider.py:48`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- Stage 1: blocking -------------------------------------------------
+    minhash_perms: int = 128          # signature length
+    lsh_bands: int = 32               # bands (rows per band = perms // bands)
+    shingle_size: int = 3             # token-shingle width for MinHash
+    max_key_frequency: int = 200      # hot-key cutoff (reference: 1000 @ KB scale)
+    max_candidates_per_record: int = 25  # reference max_candidates=25
+    min_token_len: int = 2
+
+    # --- Stage 2: scoring ---------------------------------------------------
+    # combined score = weighted blend of similarity families
+    # (ANN dist ~ trigram cosine; match_coverage/uniqueness ~ token jaccard;
+    #  BERT pair proba ~ skeleton sequence ratio)
+    w_token_jaccard: float = 0.30
+    w_skeleton_ratio: float = 0.35
+    w_trigram_cosine: float = 0.25
+    w_size_ratio: float = 0.10
+    prefix_chars: int = 256           # cap for char-level comparisons
+
+    # --- Stage 3: decision/clustering ----------------------------------------
+    decision_threshold: float = 0.62
+    cc_max_iterations: int = 25
+    cc_checkpoint_every: int = 1      # checkpoint() each CC iteration
+
+    # --- execution ------------------------------------------------------------
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8             # salting fan-out for residual hot keys
+    arrow_max_records_per_batch: int = 2048
+    broadcast_threshold_rows: int = 1_000_000  # dims below this get F.broadcast
+
+    # --- checkpointing / lineage ----------------------------------------------
+    checkpoint_dir: str | None = None  # stage-output parquet checkpoints (resume)
+    extra_spark_conf: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = PipelineConfig()

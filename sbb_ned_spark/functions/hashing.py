@@ -1,0 +1,90 @@
+"""MinHash signatures, LSH band keys, char-trigram profiles.
+
+These are the three Arrow-vectorized pandas-UDF sites of Stage 1 — the
+analog of the reference's embedding plug-ins
+(`/root/reference/qurator/sbb_ned/embeddings/base.py:12-21`, batched in
+worker processes `base.py:200-231`). Everything operates on whole Arrow
+batches with numpy; no per-row Python UDFs (input_hint).
+
+MinHash uses the classic 32-bit universal-hash family
+    h_j(x) = (a_j * x + b_j) mod p,  p = 4294967311 (prime > 2^32)
+with a fixed seed so signatures are deterministic across runs/executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType
+
+_MERSENNE_P = np.uint64(4294967311)
+_MASK32 = np.uint64(0xFFFFFFFF)
+_SEED = 42
+
+
+def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_SEED)
+    a = rng.integers(1, 1 << 32, size=n_perms, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_band_udf(n_perms: int = 128, n_bands: int = 32):
+    """pandas UDF: array<bigint> shingle hashes -> array<bigint> band hashes.
+
+    Signature rows are grouped into ``n_bands`` bands of ``n_perms //
+    n_bands`` rows; each band is collapsed to one 63-bit hash. Two records
+    sharing any band hash become blocking-key neighbors (the LSH analog of
+    the reference's Annoy `get_nns_by_vector`, `index.py:667`).
+    """
+    assert n_perms % n_bands == 0
+    rows_per_band = n_perms // n_bands
+    a, b = _perm_params(n_perms)
+    poly = np.uint64(1000003)
+    mod63 = np.uint64((1 << 63) - 1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_bands(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append([0] * n_bands)
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64) & _MASK32
+            # (len, 1) * (1, n_perms) -> min over shingles per permutation
+            sig = ((x[:, None] * a[None, :] + b[None, :]) % _MERSENNE_P).min(axis=0)
+            bands = sig.reshape(n_bands, rows_per_band)
+            h = np.zeros(n_bands, dtype=np.uint64)
+            for r in range(rows_per_band):
+                h = (h * poly + bands[:, r]) & mod63
+            out.append(h.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_bands
+
+
+def make_trigram_profile_udf(dim: int = 64):
+    """pandas UDF: normalized content -> L2-normalized hashed char-trigram
+    count vector (array<float>, ``dim`` buckets).
+
+    The cheap 'embedding' of a file — same slot as the reference's anagram
+    char-frequency vector (`embeddings/anagram.py:21-38`: counts / sqrt(sum
+    c^2)). Rolling trigram hash fully vectorized with numpy per batch.
+    """
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def trigram_profile(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if not s or len(s) < 3:
+                out.append([0.0] * dim)
+                continue
+            arr = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8).astype(np.int64)
+            h = arr[:-2] * 961 + arr[1:-1] * 31 + arr[2:]
+            counts = np.bincount(h % dim, minlength=dim).astype(np.float64)
+            norm = np.sqrt((counts * counts).sum())
+            out.append((counts / norm if norm > 0 else counts).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return trigram_profile

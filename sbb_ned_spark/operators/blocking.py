@@ -1,0 +1,154 @@
+"""Stage 1 — candidate blocking.
+
+Re-expresses the reference's ANN candidate lookup
+(`/root/reference/qurator/sbb_ned/index.py:652-719`: per-part Annoy
+query -> frequency filter -> group by candidate -> rank -> top-k) as a
+set-oriented posting-table join:
+
+  files --(normalize, JVM-side)--> record features
+        --(MinHash bands, pandas UDF)--> blocking_keys(record_id, key, key_kind)
+        --(hot-key cutoff, the reference's own skew mitigation
+           `index.py:652-653,669-674`)--> cold posting lists
+        --(self equi-join on key, id_a < id_b)--> candidate_pairs
+
+The point-query ANN 'join' (J1 in SURVEY.md §2.3) becomes a shuffle
+equi-join on blocking keys that Catalyst/AQE can optimize; skew is
+bounded *by construction* via the frequency cutoff, with AQE skew-join
+as the second line of defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
+from sbb_ned_spark.functions.hashing import make_minhash_band_udf, make_trigram_profile_udf
+from sbb_ned_spark.functions.normalize import with_normalized_columns
+
+US = "\x1f"
+MAX_SKELETON_SEQ = 400
+
+
+def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """One pass over `files` producing the compact per-record feature row.
+
+    Raw ``content`` is projected OUT here: downstream shuffles carry only
+    hashes/sets/vectors (SURVEY.md §7.4.4 — hash early, ship sha256 + token
+    sets, not raw content; mirrors the reference's column pruning R5).
+    """
+    minhash_content = make_minhash_band_udf(config.minhash_perms, config.lsh_bands)
+    minhash_skel = make_minhash_band_udf(config.minhash_perms, config.lsh_bands)
+    trigram = make_trigram_profile_udf(64)
+
+    df = files
+    if "record_id" not in df.columns:
+        df = df.withColumn(
+            "record_id", F.sha2(F.concat_ws(US, "repo", "path", "commit"), 256)
+        )
+    if "sha256" not in df.columns:
+        df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+    df = with_normalized_columns(df, "content", k=config.shingle_size, min_len=config.min_token_len)
+    return df.select(
+        "record_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "sha256",
+        "norm_sha",
+        "n_tokens",
+        F.length("content").alias("n_chars"),
+        "token_set",
+        F.slice(
+            F.transform("skeleton", lambda t: F.xxhash64(t)), 1, MAX_SKELETON_SEQ
+        ).alias("skeleton_seq"),
+        minhash_content("shingles").alias("mh_content"),
+        minhash_skel("skeleton_shingles").alias("mh_skeleton"),
+        trigram("norm_content").alias("trigram_vec"),
+    )
+
+
+def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """blocking_keys(record_id, key, key_kind) posting table.
+
+    Four key families (the Annoy mapping `(ann_index -> page_title)`
+    analog, `index.py:545-579`):
+      sha          exact content duplicate
+      nsha         whitespace/comment-insensitive duplicate
+      mh:<band>    MinHash band over token shingles
+      mhs:<band>   MinHash band over skeleton shingles (rename-invariant)
+    """
+    exact = features.select(
+        "record_id",
+        F.concat(F.lit("sha:"), "sha256").alias("key"),
+        F.lit("sha").alias("key_kind"),
+    )
+    norm = features.select(
+        "record_id",
+        F.concat(F.lit("nsha:"), "norm_sha").alias("key"),
+        F.lit("nsha").alias("key_kind"),
+    )
+    mh = features.select(
+        "record_id", F.posexplode("mh_content").alias("band", "h")
+    ).select(
+        "record_id",
+        F.concat_ws(":", F.lit("mh"), "band", "h").alias("key"),
+        F.lit("minhash_band").alias("key_kind"),
+    )
+    mhs = features.select(
+        "record_id", F.posexplode("mh_skeleton").alias("band", "h")
+    ).select(
+        "record_id",
+        F.concat_ws(":", F.lit("mhs"), "band", "h").alias("key"),
+        F.lit("minhash_skeleton_band").alias("key_kind"),
+    )
+    return exact.unionByName(norm).unionByName(mh).unionByName(mhs)
+
+
+def split_hot_keys(
+    keys: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame]:
+    """(cold_posting, hot_key_stats).
+
+    The reference drops ANN hits whose index maps to more than
+    `max_frequency` entities (`index.py:652-653,669-674`); we drop blocking
+    keys matching more than `max_key_frequency` records. hot_key_stats is
+    kept for the metrics/lineage table (hot_keys_dropped must be measured,
+    not assumed — SURVEY.md §7.4.2).
+    """
+    freq = keys.groupBy("key").agg(F.count("*").alias("key_freq"))
+    hot = freq.filter(F.col("key_freq") > config.max_key_frequency)
+    cold = keys.join(F.broadcast(hot.select("key")), "key", "left_anti")
+    return cold, hot
+
+
+def candidate_pairs(
+    posting: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Self equi-join of the cold posting table on ``key`` with a strict
+    ``id_a < id_b`` order (J6 pattern, `data_processor.py:191-196`),
+    deduped across keys with per-pair shared-key count, and capped per
+    record at ``max_candidates_per_record`` (reference `max_candidates`=25,
+    `index.py:209-211`) via a window top-k (W4).
+    """
+    left = posting.select(F.col("key"), F.col("record_id").alias("id_a"))
+    right = posting.select(F.col("key"), F.col("record_id").alias("id_b"))
+    pairs = (
+        left.join(right, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_keys"), F.min("key").alias("key"))
+    )
+    # per-record candidate cap: strongest-evidence-first, deterministic
+    # tie-break on id_b (SURVEY.md §7.4.1 tie-break fidelity)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("n_shared_keys").desc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= config.max_candidates_per_record)
+        .drop("cand_rank")
+    )

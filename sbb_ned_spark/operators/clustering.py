@@ -1,0 +1,119 @@
+"""Stage 3 — decision + transitive clustering.
+
+Decision: accept a candidate pair when ``score >= threshold`` OR the
+exact-content override fires (sha256/norm-sha equality) — the analog of
+the reference's ``proba_1 >= threshold OR exact lowercase surface ==
+title`` rule (`/root/reference/qurator/sbb_ned/models/decider.py:47-48`).
+
+Clustering: iterative **large-star / small-star** connected components
+(Kiveris et al., "Connected Components in MapReduce and Beyond") over the
+accepted edges, expressed purely as DataFrame joins/aggregations with
+``checkpoint()`` per iteration to truncate lineage (SURVEY.md §7.4.3).
+Cluster labels are deterministic min-record-ids, so the output
+``cluster_id`` is directly comparable to the fixture's ``entity_id``
+(min record id per planted cluster, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def accepted_edges(scores: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    return scores.filter(
+        (F.col("score") >= F.lit(config.decision_threshold)) | (F.col("exact_match") == 1)
+    ).select("id_a", "id_b")
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    rev = edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    return fwd.unionByName(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): m = min(N(u) ∪ {u}); connect every strictly larger
+    neighbor v > u to m."""
+    nbr_min = edges.groupBy("u").agg(F.min("v").alias("nmin"))
+    m = nbr_min.select(
+        "u", F.least(F.col("nmin"), F.col("u")).alias("m")
+    )
+    joined = edges.join(m, "u")
+    out = joined.filter(F.col("v") > F.col("u")).select(
+        F.col("v").alias("id_a"), F.col("m").alias("id_b")
+    )
+    return out.filter(F.col("id_a") != F.col("id_b")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): over neighbors v <= u, m = min(N<=(u) ∪ {u});
+    connect each of those neighbors and u itself to m."""
+    le = edges.filter(F.col("v") <= F.col("u"))
+    m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = le.join(m, "u")
+    to_m = joined.select(F.col("v").alias("id_a"), F.col("m").alias("id_b")).unionByName(
+        m.select(F.col("u").alias("id_a"), F.col("m").alias("id_b"))
+    )
+    return to_m.filter(F.col("id_a") != F.col("id_b")).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(id_a, id_b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    records: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """clusters(record_id, cluster_id, n_iter) for every record (singletons
+    cluster with themselves).
+
+    ``records`` needs a ``record_id`` column; ``edges`` needs id_a/id_b.
+    Each iteration alternates large-star / small-star and checkpoints to
+    cut lineage; convergence = identical (count, hash) edge fingerprint.
+    """
+    cur = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
+    # materialize the input once: each star pass consumes its input twice
+    # (group-by min + join), which would otherwise re-run the full scoring
+    # lineage on every iteration
+    cur = cur.localCheckpoint(eager=True)
+    n_iter = 0
+    prev_fp = _edge_fingerprint(cur)
+    for i in range(config.cc_max_iterations):
+        n_iter = i + 1
+        sym = _symmetric(cur)
+        after_large = _large_star(sym)
+        sym2 = _symmetric(after_large)
+        cur = _small_star(sym2)
+        if config.cc_checkpoint_every and n_iter % config.cc_checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # after convergence every edge is (member -> root); roots may only
+    # appear on the id_b side
+    member_root = cur.select(
+        F.col("id_a").alias("record_id"), F.col("id_b").alias("cluster_id")
+    )
+    assignment = member_root.groupBy("record_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+    all_records = records.select("record_id").distinct()
+    out = all_records.join(assignment, "record_id", "left").select(
+        "record_id",
+        F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        F.lit(n_iter).alias("n_iter"),
+    )
+    # roots themselves: ensure root maps to itself even if it appeared as a
+    # member of nothing (coalesce above covers it)
+    return out

@@ -1,0 +1,216 @@
+"""Stage 2 — batched pairwise scoring.
+
+The analog of the reference's evidence cross-product + BERT pair scoring
+(`/root/reference/qurator/sbb_ned/models/sentence_lookup.py:102-136`,
+`models/classifier_decider_queue.py:50-82`): candidate pairs are joined
+with the compact per-record features and scored in Arrow batches.
+
+Two physically different but semantically identical execution modes:
+
+- ``mapInPandas`` (default): scoring is a *stateless per-pair map* — no
+  grouping semantics needed — so the narrow, shuffle-free operator is the
+  Spark-first choice.
+- ``applyInPandas``: pairs are grouped by a deterministic hash bucket of
+  ``id_a`` (north_star phrasing; also the hook for salted repartitioning
+  when pair batches must be co-located with per-candidate state).
+
+Per-candidate statistical aggregation (the decider's feature matrix,
+`models/decider.py:88-166`) is pure native aggregation — no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
+from sbb_ned_spark.functions import similarity as sim
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("id_a", StringType()),
+        StructField("id_b", StringType()),
+        StructField("n_shared_keys", IntegerType()),
+        StructField("token_jaccard", DoubleType()),
+        StructField("token_containment", DoubleType()),
+        StructField("skeleton_ratio", DoubleType()),
+        StructField("trigram_cosine", DoubleType()),
+        StructField("size_ratio", DoubleType()),
+        StructField("exact_match", IntegerType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+_FEATURE_COLS = [
+    "token_set",
+    "skeleton_seq",
+    "trigram_vec",
+    "n_tokens",
+    "sha256",
+    "norm_sha",
+]
+
+
+def _score_batch(pdf: pd.DataFrame, config: PipelineConfig) -> pd.DataFrame:
+    n = len(pdf)
+    tj = np.zeros(n)
+    tc = np.zeros(n)
+    sr = np.zeros(n)
+    cs = np.zeros(n)
+    szr = np.zeros(n)
+    exact = np.zeros(n, dtype=np.int32)
+
+    ts_a = pdf["token_set_a"].to_numpy()
+    ts_b = pdf["token_set_b"].to_numpy()
+    sk_a = pdf["skeleton_seq_a"].to_numpy()
+    sk_b = pdf["skeleton_seq_b"].to_numpy()
+    tv_a = pdf["trigram_vec_a"].to_numpy()
+    tv_b = pdf["trigram_vec_b"].to_numpy()
+    nt_a = pdf["n_tokens_a"].to_numpy()
+    nt_b = pdf["n_tokens_b"].to_numpy()
+    sha_eq = (pdf["sha256_a"] == pdf["sha256_b"]) | (pdf["norm_sha_a"] == pdf["norm_sha_b"])
+
+    for i in range(n):
+        a = np.asarray(ts_a[i], dtype=np.int64)
+        b = np.asarray(ts_b[i], dtype=np.int64)
+        tj[i] = sim.jaccard_sorted(a, b)
+        tc[i] = sim.containment_sorted(a, b)
+        sr[i] = sim.seq_ratio(sk_a[i], sk_b[i])
+        cs[i] = sim.cosine(np.asarray(tv_a[i]), np.asarray(tv_b[i]))
+        szr[i] = sim.size_ratio(int(nt_a[i]), int(nt_b[i]))
+    exact[sha_eq.to_numpy()] = 1
+
+    token_ev = np.maximum(tj, 0.7 * tc + 0.3 * tj)
+    score = (
+        config.w_token_jaccard * token_ev
+        + config.w_skeleton_ratio * sr
+        + config.w_trigram_cosine * cs
+        + config.w_size_ratio * szr
+    )
+    score = np.where(exact == 1, 1.0, score)
+
+    return pd.DataFrame(
+        {
+            "id_a": pdf["id_a"],
+            "id_b": pdf["id_b"],
+            "n_shared_keys": pdf["n_shared_keys"].astype("int32"),
+            "token_jaccard": tj,
+            "token_containment": tc,
+            "skeleton_ratio": sr,
+            "trigram_cosine": cs,
+            "size_ratio": szr,
+            "exact_match": exact,
+            "score": score,
+        }
+    )
+
+
+def _paired_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
+    """Join pair ids with both sides' compact features.
+
+    Two shuffle hash joins on record_id (J2 analog `index.py:680-684`);
+    features carry no raw content, so shuffle payload stays small.
+    """
+    fa = features.select(
+        F.col("record_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in _FEATURE_COLS],
+    )
+    fb = features.select(
+        F.col("record_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in _FEATURE_COLS],
+    )
+    return pairs.join(fa, "id_a").join(fb, "id_b")
+
+
+def score_pairs(
+    pairs: DataFrame,
+    features: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    method: str = "mapInPandas",
+) -> DataFrame:
+    joined = _paired_features(pairs, features)
+
+    if method == "mapInPandas":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    yield _score_batch(pdf, config)
+
+        return joined.mapInPandas(run, SCORE_SCHEMA)
+
+    if method == "applyInPandas":
+        bucketed = joined.withColumn(
+            "bucket", F.pmod(F.xxhash64("id_a"), F.lit(config.shuffle_partitions))
+        )
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_batch(pdf.drop(columns=["bucket"]), config)
+
+        return bucketed.groupBy("bucket").applyInPandas(run_group, SCORE_SCHEMA)
+
+    raise ValueError(f"unknown scoring method: {method}")
+
+
+# ---------------------------------------------------------------------------
+# Decider-style per-candidate statistics (A3/A4, `models/decider.py:88-166`)
+# ---------------------------------------------------------------------------
+
+_STAT_COL = "score"
+
+
+def candidate_stats(scores: DataFrame) -> DataFrame:
+    """Per-record aggregate features over its candidate scores, in the
+    decider's shape: case_* (this record), overall_* (all records,
+    broadcast-joined back), diff_* (case - overall), plus among-top
+    occupancy via a window cumulative sum (A4, `decider.py:115-121`).
+
+    Entirely native aggregation — whole-stage codegen, no Python.
+    """
+    case = scores.groupBy("id_a").agg(
+        F.min(_STAT_COL).alias("case_min"),
+        F.max(_STAT_COL).alias("case_max"),
+        F.avg(_STAT_COL).alias("case_mean"),
+        F.coalesce(F.stddev(_STAT_COL), F.lit(0.0)).alias("case_std"),
+        F.expr(f"percentile_approx({_STAT_COL}, 0.5)").alias("case_median"),
+        F.expr(f"percentile_approx({_STAT_COL}, array(0.1,0.25,0.75,0.9))").alias(
+            "case_quantiles"
+        ),
+        F.count("*").alias("case_n"),
+    )
+    overall = scores.agg(
+        F.min(_STAT_COL).alias("overall_min"),
+        F.max(_STAT_COL).alias("overall_max"),
+        F.avg(_STAT_COL).alias("overall_mean"),
+        F.coalesce(F.stddev(_STAT_COL), F.lit(0.0)).alias("overall_std"),
+    )
+    # global one-row aggregate joined back — broadcast nested loop of a
+    # single row (J3 pattern: ranking ⋈ tiny dim, `index.py:73`)
+    out = case.crossJoin(F.broadcast(overall))
+    for s in ("min", "max", "mean", "std"):
+        out = out.withColumn(f"diff_{s}", F.col(f"case_{s}") - F.col(f"overall_{s}"))
+
+    # among-top occupancy: fraction of this record's pairs above the global
+    # 90th percentile (A4 analog, `decider.py:115-121`). Deliberately NOT a
+    # global ORDER BY window — a single-partition sort would not survive a
+    # 100x scale-up; a one-row approx-percentile aggregate broadcast back
+    # gives the same feature with only a map-side comparison.
+    p90 = scores.agg(
+        F.expr(f"percentile_approx({_STAT_COL}, 0.9)").alias("p90")
+    )
+    among = (
+        scores.crossJoin(F.broadcast(p90))
+        .groupBy("id_a")
+        .agg(F.avg((F.col(_STAT_COL) >= F.col("p90")).cast("double")).alias("among_top10"))
+    )
+    return out.join(among, "id_a", "left").fillna({"among_top10": 0.0})

@@ -1,0 +1,74 @@
+"""Stage-1 blocking unit tests (SURVEY.md §2.3 J1/J2, §2.2 P5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sbb_ned_spark.config import PipelineConfig
+from sbb_ned_spark.operators import blocking
+
+
+@pytest.fixture(scope="module")
+def feats(tiny_files):
+    return blocking.record_features(tiny_files).persist()
+
+
+def test_features_carry_invariants_and_no_content(feats, tiny_files):
+    assert "content" not in feats.columns  # hash early, never ship content
+    assert feats.count() == tiny_files.count()
+    # sha256 preserved exactly (per-row invariant, input_hint)
+    mismatch = (
+        feats.select("record_id", "sha256")
+        .join(tiny_files.select("record_id", F.col("sha256").alias("sha_in")), "record_id")
+        .filter(F.col("sha256") != F.col("sha_in"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_minhash_determinism(feats, tiny_files):
+    again = blocking.record_features(tiny_files)
+    a = {r["record_id"]: r["mh_content"] for r in feats.select("record_id", "mh_content").collect()}
+    b = {r["record_id"]: r["mh_content"] for r in again.select("record_id", "mh_content").collect()}
+    assert a == b
+
+
+def test_exact_duplicates_share_sha_key(feats):
+    keys = blocking.blocking_keys(feats)
+    sha_keys = keys.filter(F.col("key_kind") == "sha")
+    # the vendored file copies all share one sha key
+    top = sha_keys.groupBy("key").count().agg(F.max("count")).first()[0]
+    assert top >= 10
+
+
+def test_hot_key_cutoff(feats):
+    cfg = PipelineConfig(max_key_frequency=5)
+    keys = blocking.blocking_keys(feats)
+    cold, hot = blocking.split_hot_keys(keys, cfg)
+    assert hot.count() > 0  # vendored/license keys are hot at cutoff 5
+    max_freq = cold.groupBy("key").count().agg(F.max("count")).first()[0]
+    assert max_freq <= 5
+
+
+def test_candidate_pairs_oriented_and_capped(feats):
+    cfg = PipelineConfig(max_candidates_per_record=7)
+    keys = blocking.blocking_keys(feats)
+    cold, _ = blocking.split_hot_keys(keys, cfg)
+    pairs = blocking.candidate_pairs(cold, cfg)
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert pairs.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
+    max_cands = pairs.groupBy("id_a").count().agg(F.max("count")).first()[0]
+    assert max_cands <= 7
+
+
+def test_blocking_recall_on_true_pairs(spark, feats, tiny_truth):
+    """Every labeled positive pair must survive blocking (candidate recall
+    = 1.0 on the tiny fixture — LSH bands + exact keys + skeleton bands)."""
+    members, lp = tiny_truth
+    keys = blocking.blocking_keys(feats)
+    cold, _ = blocking.split_hot_keys(keys, PipelineConfig())
+    pairs = blocking.candidate_pairs(cold, PipelineConfig())
+    pos = spark.createDataFrame(lp[lp.label == 1][["id_a", "id_b"]])
+    missed = pos.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    assert missed == 0

@@ -1,0 +1,83 @@
+"""Stage-2 scoring unit tests (SURVEY.md §2.10 X4, §2.4 A3/A4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sbb_ned_spark.config import PipelineConfig
+from sbb_ned_spark.functions import similarity as sim
+from sbb_ned_spark.operators import blocking, scoring
+
+
+@pytest.fixture(scope="module")
+def scored(tiny_files):
+    cfg = PipelineConfig()
+    feats = blocking.record_features(tiny_files, cfg).persist()
+    keys = blocking.blocking_keys(feats, cfg)
+    cold, _ = blocking.split_hot_keys(keys, cfg)
+    pairs = blocking.candidate_pairs(cold, cfg)
+    return feats, pairs, scoring.score_pairs(pairs, feats, cfg).persist()
+
+
+def test_similarity_kernels():
+    a = np.array([1, 2, 3, 4], dtype=np.int64)
+    b = np.array([3, 4, 5, 6], dtype=np.int64)
+    assert sim.jaccard_sorted(a, b) == pytest.approx(2 / 6)
+    assert sim.containment_sorted(a, b) == pytest.approx(0.5)
+    assert sim.jaccard_sorted(a, a) == 1.0
+    assert sim.seq_ratio([1, 2, 3], [1, 2, 3]) == 1.0
+    assert sim.seq_ratio([1, 2, 3], [4, 5, 6]) == 0.0
+    assert sim.cosine(np.array([1.0, 0.0]), np.array([1.0, 0.0])) == pytest.approx(1.0)
+    assert sim.size_ratio(5, 10) == 0.5
+
+
+def test_scores_bounded_and_exact_flagged(scored):
+    _, _, sc = scored
+    assert sc.filter((F.col("score") < 0) | (F.col("score") > 1.0001)).count() == 0
+    # exact matches forced to score 1.0
+    assert sc.filter((F.col("exact_match") == 1) & (F.col("score") < 1.0)).count() == 0
+
+
+def test_identical_pair_scores_one(scored):
+    feats, pairs, sc = scored
+    # any pair with equal sha256 must have all similarities == 1
+    full = sc.join(
+        feats.select(F.col("record_id").alias("id_a"), F.col("sha256").alias("sha_a")), "id_a"
+    ).join(
+        feats.select(F.col("record_id").alias("id_b"), F.col("sha256").alias("sha_b")), "id_b"
+    )
+    ident = full.filter(F.col("sha_a") == F.col("sha_b"))
+    assert ident.count() > 0
+    bad = ident.filter(
+        (F.col("token_jaccard") < 0.999) | (F.col("skeleton_ratio") < 0.999)
+    ).count()
+    assert bad == 0
+
+
+def test_mapinpandas_equals_applyinpandas(scored):
+    feats, pairs, sc_map = scored
+    cfg = PipelineConfig()
+    sc_apply = scoring.score_pairs(pairs, feats, cfg, method="applyInPandas")
+    a = {(r["id_a"], r["id_b"]): round(r["score"], 9) for r in sc_map.collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["score"], 9) for r in sc_apply.collect()}
+    assert a == b
+
+
+def test_candidate_stats_shape(scored):
+    _, _, sc = scored
+    stats = scoring.candidate_stats(sc)
+    cols = set(stats.columns)
+    for c in (
+        "case_min case_max case_mean case_std case_median case_n "
+        "overall_min overall_max overall_mean overall_std "
+        "diff_min diff_max diff_mean diff_std among_top10".split()
+    ):
+        assert c in cols, c
+    # case stats bounded by overall extremes
+    bad = stats.filter(
+        (F.col("case_min") < F.col("overall_min") - 1e-9)
+        | (F.col("case_max") > F.col("overall_max") + 1e-9)
+    ).count()
+    assert bad == 0
