@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: MinHash-LSH near-duplicate detection +
+connected-components clustering over the `documents` table (the engine's
+blocking/decide core applied to driver data).
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
+operator inventory), plus the training-data-pipeline operators (dedup
+family, similarity search, text analysis, multimodal plumbing). Every
+aggregate/computed column is aliased identically in the Spark plan and
+the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +17,1019 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup document clustering: MinHash-LSH blocking -> exact Jaccard
+    verification -> large-star/small-star connected components."""
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators import dedup
+    from sbb_ned_spark.operators.clustering import connected_components
+
+    docs = _t(spark, SF_DEFAULT, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_key", "text", tau=0.8)
+    edges = pairs.select(F.col("id_a"), F.col("id_b"))
+    nodes = docs.select(F.col("doc_key").alias("record_id"))
+    clusters = connected_components(edges, nodes, PipelineConfig())
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select("record_id", "cluster_id", "cluster_size")
+        .orderBy("record_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_s1_full_scan(spark, sf):
+    # S1: full table scan of the KB registry analog (`index.py:241-245`)
+    return _t(spark, sf, "customer")
+
+
+def q_s2_per_key_limit(spark, sf):
+    # S2: per-target indexed scan with LIMIT (`sentence_lookup.py:36-39`)
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+def q_p1_projection(spark, sf):
+    # P1: column projection + derived column (`index.py:536`)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw double product: bit-identical across engines (IEEE); rounding
+        # at 2dp would hit .xx5 boundaries where Spark HALF_UP and DuckDB
+        # binary rounding disagree
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+def q_p2_filter_eq(spark, sf):
+    # P2: equality predicate (`index.py:539`)
+    return _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_p4_threshold(spark, sf):
+    # P4: distance-threshold filter (`index.py:688`)
+    return _t(spark, sf, "lineitem").filter(F.col("l_discount") < 0.05).select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+def q_p5_hot_key_filter(spark, sf):
+    # P5: frequency (stop-key) filter — drop hot keys (`index.py:669-674`)
+    li = _t(spark, sf, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("key_freq"))
+    hot = freq.filter(F.col("key_freq") > 40).select("l_partkey")
+    return li.join(F.broadcast(hot), "l_partkey", "left_anti").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+def q_p6_sanity_filter(spark, sf):
+    # P6: title sanity filter (`index.py:645`)
+    p = _t(spark, sf, "part")
+    return p.filter(
+        (F.length("p_name") >= 3) & (~F.col("p_name").rlike(r"^[0-9]+$"))
+    ).select("p_partkey", "p_name")
+
+
+def q_p7_prefix_filter(spark, sf):
+    # P7: 'Liste ' prefix exclusion (`sentence_lookup.py:52`)
+    d = _t(spark, sf, "documents")
+    return d.filter(~F.col("source").startswith("src1")).select("doc_id", "source")
+
+
+def q_p9_temporal_filter(spark, sf):
+    # P9: not-after temporal filter (`index.py:116-197`)
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderdate").isNull() | (F.col("o_orderdate") < F.lit("1997-06-01").cast("date"))
+    ).select("o_orderkey", "o_orderdate")
+
+
+def q_p11_overlap_filter(spark, sf):
+    # P11: tag-set relevance filter via arrays_overlap (`index.py:324-332`)
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+    return d.withColumn("toks", toks).filter(
+        F.arrays_overlap("toks", F.lit(["spark", "vector"]))
+    ).select("doc_id", "lang")
+
+
+def q_p12_fillna(spark, sf):
+    # P12: null/NaN handling before model (`decider.py:210`)
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("acctbal_filled"),
+        F.when(F.col("c_acctbal") < 0, 0.0).otherwise(F.col("c_acctbal")).alias("acctbal_clipped"),
+    )
+
+
+def q_j2_hash_join(spark, sf):
+    # J2: many-to-many equi join mapping⋈lookup (`index.py:680-684`)
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_j3_broadcast_dim_join(spark, sf):
+    # J3: broadcast dimension join chain (`index.py:73,77-78`)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def q_j4_evidence_join(spark, sf):
+    # J4: inverted-index equi-join + per-candidate limit (`sentence_lookup.py:34-45`)
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    j = s.join(li, s.s_suppkey == li.l_suppkey)
+    w = Window.partitionBy("s_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("s_suppkey", "s_name", "l_orderkey", "l_extendedprice", "rn")
+    )
+
+
+def q_j5_bounded_cross(spark, sf):
+    # J5: bounded per-group cross join (`sentence_lookup.py:124-135`)
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    wc = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    ws = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    topc = c.withColumn("rc", F.row_number().over(wc)).filter(F.col("rc") <= 2)
+    tops = s.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= 2)
+    return topc.join(tops, topc.c_nationkey == tops.s_nationkey).select(
+        "c_nationkey", "c_custkey", "s_suppkey"
+    )
+
+
+def q_j6_self_pairs(spark, sf):
+    # J6: within-group combinations a<b (`data_processor.py:191-196`)
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    a = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_quantity").alias("qty_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_quantity").alias("qty_b"),
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .select("l_orderkey", "ln_a", "ln_b", (F.col("qty_a") + F.col("qty_b")).alias("qty_sum"))
+    )
+
+
+def q_j7_good_bad_pairs(spark, sf):
+    # J7: good x bad grouped cross product (`data_processor.py:198-208`)
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    best = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_linenumber").alias("best_ln"))
+    )
+    return (
+        li.join(best, "l_orderkey")
+        .filter(F.col("l_linenumber") != F.col("best_ln"))
+        .select("l_orderkey", F.col("l_linenumber").alias("other_ln"), "best_ln")
+    )
+
+
+def q_j_semi(spark, sf):
+    # semi join: customers with orders (`index.py:682` isin)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_j_anti(spark, sf):
+    # anti join: customers without orders (hot-key exclusion pattern P5)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_j11_point_lookup(spark, sf):
+    # J11: broadcast-map point lookup (`decider.py:55-58`)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+
+def q_a1_group_ranking_stats(spark, sf):
+    # A1: group-by + per-group ranking stats (`index.py:692-703`); TPC-H Q1 shape
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_a2_value_counts(spark, sf):
+    # A2: value_counts (`index.py:641`)
+    return _t(spark, sf, "orders").groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+
+
+def q_a3_multi_stat(spark, sf):
+    # A3: multi-stat agg matrix incl. quantiles (`decider.py:88-151`)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_quantity"), 6).alias("q_min"),
+        F.round(F.max("l_quantity"), 6).alias("q_max"),
+        F.round(F.avg("l_quantity"), 6).alias("q_mean"),
+        F.round(F.stddev("l_quantity"), 6).alias("q_std"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q_median"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q_p25"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("q_p90"),
+    )
+
+
+def q_a4_cumulative(spark, sf):
+    # A4: cumulative occupancy / running share (`decider.py:115-121`)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tot = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.sum("o_totalprice").over(tot),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def q_a5_mean_pool(spark, sf):
+    # A5: mean-pool embedding aggregation (`embeddings/base.py:236-253`)
+    e = _t(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
+
+
+def q_a6_global_totals(spark, sf):
+    # A6: counter totals (`cli.py:124`)
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("mean_discount"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_a7_distinct_first(spark, sf):
+    # A7: order-sensitive dedup via explicit total order (`index.py:67`)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_w1_rank(spark, sf):
+    # W1: rank by position after sort (`index.py:444-445`)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rank"))
+
+
+def q_w2_norm_rank(spark, sf):
+    # W2: normalized rank in [0,1] (`decider.py:95`)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    cnt = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            (F.row_number().over(w) - 1)
+            / F.greatest(F.count("*").over(cnt) - 1, F.lit(1)),
+            6,
+        ).alias("norm_rank"),
+    )
+
+
+def q_w3_cumsum(spark, sf):
+    # W3: cumulative sum (`decider.py:117`)
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("cum_qty"),
+    )
+
+
+def q_w5_session_renumber(spark, sf):
+    # W5: segment re-numbering with conditional reset (`clef_hipe_2022.py:49-60`)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    bounded = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(bounded).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return e.select(
+        "user_id", "event_id", sess.alias("session_id")
+    ).withColumn(
+        "pos_in_session",
+        F.row_number().over(Window.partitionBy("user_id", "session_id").orderBy("event_id")),
+    )
+
+
+def q_o1_multikey_topk(spark, sf):
+    # O1: THE multi-key candidate sort + limit (`index.py:303-305`)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(50)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_u1_union(spark, sf):
+    # U1: union all (`index.py:302`)
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+def q_u2_intersect(spark, sf):
+    # U2: set intersection (`index.py:324`)
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+def q_u3_except(spark, sf):
+    # U3/U4: set difference (`decider.py:99`)
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+def q_u5_split(spark, sf):
+    # U5: deterministic train/test split (`cli.py:766-774`, seeded-hash variant)
+    c = _t(spark, sf, "customer")
+    return c.filter(F.col("c_custkey") % 10 < 8).select("c_custkey")
+
+
+def q_f1_tokenize(spark, sf):
+    # F1: surface tokenization + frequency (`embeddings/base.py:49-76`)
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 20)
+    )
+
+
+def q_f7_string_predicates(spark, sf):
+    # F7: length / numeric / startswith tests (`index.py:645,708`)
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").rlike(r"^[0-9]+$").alias("is_numeric"),
+        F.col("p_name").startswith("red").alias("is_red"),
+    )
+
+
+def q_f8_date_extract(spark, sf):
+    # F8: date parse + year extract (`index.py:119-130`)
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_f9_haversine(spark, sf):
+    # F9: haversine distance (`index.py:99-109`) — synthetic nation coords
+    n = _t(spark, sf, "nation")
+    pts = n.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 3.0 - 30.0).alias("lat"),
+        (F.col("n_regionkey") * 20.0 - 100.0).alias("lon"),
+    )
+    a = pts.select(
+        F.col("n_nationkey").alias("k_a"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a")
+    )
+    b = pts.select(
+        F.col("n_nationkey").alias("k_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b")
+    )
+    j = a.crossJoin(b).filter(F.col("k_a") < F.col("k_b"))
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a"))
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b")) * F.pow(F.sin(dlon / 2), 2)
+    )
+    km = 6371.0 * 2 * F.atan2(F.sqrt(h), F.sqrt(1 - h))
+    return j.select("k_a", "k_b", F.round(km, 3).alias("dist_km"))
+
+
+def q_f10_log_odds(spark, sf):
+    # F10: log-odds transform (`classifier_decider_queue.py:74`)
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.log((F.col("l_discount") + 0.01) / (1 - F.col("l_discount") + 0.01)), 6
+        ).alias("log_odds"),
+    )
+
+
+def q_f14_sha2(spark, sf):
+    # F14: request-hash key (`webapp/app.py:289-291`)
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", F.sha2(F.col("c_name"), 256).alias("name_sha"))
+
+
+def q_f15_json(spark, sf):
+    # F15: JSON-in-column decode (`cli.py:580-582`)
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+# --- training-data pipeline operators --------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from sbb_ned_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from sbb_ned_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", tau=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from sbb_ned_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", tau=0.8)
+
+
+def q_dedup_simhash(spark, sf):
+    from sbb_ned_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_ann_bruteforce_topk(spark, sf):
+    from sbb_ned_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ss.brute_force_topk(e, q, k=3)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from sbb_ned_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    return ss.lsh_topk(e, q, k=3)
+
+
+def q_embedding_near_dup(spark, sf):
+    from sbb_ned_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return ss.embedding_near_dup_pairs(e, tau=0.5)
+
+
+def q_text_language_id(spark, sf):
+    from sbb_ned_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.language_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_quality(spark, sf):
+    from sbb_ned_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_tok_len"], 6).alias("mean_tok_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stop_ratio"], 6).alias("stop_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_token_count(spark, sf):
+    from sbb_ned_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        T.word_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    from sbb_ned_spark.functions import text as T
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_multimodal_features(spark, sf):
+    from sbb_ned_spark.operators import multimodal as mm
+
+    d = _t(spark, sf, "documents")
+    media = mm.to_media_table(d, "doc_id", "text", kind="image")
+    return mm.extract_features(media, stub=True)
+
+
+def q_er_clusters(spark, sf):
+    # the ER core on the synthetic files table (fixtures are deterministic)
+    from sbb_ned_spark import fixtures
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.plans import pipeline as P
+
+    files = fixtures.load_files_df(spark, "tiny")
+    res = P.run_pipeline(files, PipelineConfig())
+    return res.clusters.select("record_id", "cluster_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_full_scan": q_s1_full_scan,
+        "s2_per_key_limit": q_s2_per_key_limit,
+        "p1_projection": q_p1_projection,
+        "p2_filter_eq": q_p2_filter_eq,
+        "p4_threshold": q_p4_threshold,
+        "p5_hot_key_filter": q_p5_hot_key_filter,
+        "p6_sanity_filter": q_p6_sanity_filter,
+        "p7_prefix_filter": q_p7_prefix_filter,
+        "p9_temporal_filter": q_p9_temporal_filter,
+        "p11_overlap_filter": q_p11_overlap_filter,
+        "p12_fillna": q_p12_fillna,
+        "j2_hash_join": q_j2_hash_join,
+        "j3_broadcast_dim_join": q_j3_broadcast_dim_join,
+        "j4_evidence_join": q_j4_evidence_join,
+        "j5_bounded_cross": q_j5_bounded_cross,
+        "j6_self_pairs": q_j6_self_pairs,
+        "j7_good_bad_pairs": q_j7_good_bad_pairs,
+        "j_semi": q_j_semi,
+        "j_anti": q_j_anti,
+        "j11_point_lookup": q_j11_point_lookup,
+        "a1_group_ranking_stats": q_a1_group_ranking_stats,
+        "a2_value_counts": q_a2_value_counts,
+        "a3_multi_stat": q_a3_multi_stat,
+        "a4_cumulative": q_a4_cumulative,
+        "a5_mean_pool": q_a5_mean_pool,
+        "a6_global_totals": q_a6_global_totals,
+        "a7_distinct_first": q_a7_distinct_first,
+        "w1_rank": q_w1_rank,
+        "w2_norm_rank": q_w2_norm_rank,
+        "w3_cumsum": q_w3_cumsum,
+        "w5_session_renumber": q_w5_session_renumber,
+        "o1_multikey_topk": q_o1_multikey_topk,
+        "u1_union": q_u1_union,
+        "u2_intersect": q_u2_intersect,
+        "u3_except": q_u3_except,
+        "u5_split": q_u5_split,
+        "f1_tokenize": q_f1_tokenize,
+        "f7_string_predicates": q_f7_string_predicates,
+        "f8_date_extract": q_f8_date_extract,
+        "f9_haversine": q_f9_haversine,
+        "f10_log_odds": q_f10_log_odds,
+        "f14_sha2": q_f14_sha2,
+        "f15_json": q_f15_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "er_clusters": q_er_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))"
+_TOK_ALL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "s1_full_scan": "SELECT * FROM customer",
+        "s2_per_key_limit": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM lineitem) WHERE rn <= 5""",
+        "p1_projection": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem""",
+        "p2_filter_eq": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_returnflag = 'A'""",
+        "p4_threshold": """
+            SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+            WHERE l_discount < 0.05""",
+        "p5_hot_key_filter": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey NOT IN (
+              SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40)""",
+        "p6_sanity_filter": """
+            SELECT p_partkey, p_name FROM part
+            WHERE LENGTH(p_name) >= 3 AND NOT regexp_full_match(p_name, '[0-9]+')""",
+        "p7_prefix_filter": """
+            SELECT doc_id, source FROM documents WHERE NOT starts_with(source, 'src1')""",
+        "p9_temporal_filter": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate IS NULL OR o_orderdate < DATE '1997-06-01'""",
+        "p11_overlap_filter": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE list_has_any({_TOK_ALL}, ['spark', 'vector'])""",
+        "p12_fillna": """
+            SELECT c_custkey, COALESCE(c_acctbal, 0.0) AS acctbal_filled,
+                   CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS acctbal_clipped
+            FROM customer""",
+        "j2_hash_join": """
+            SELECT o_orderstatus, COUNT(*) AS n_lines,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus""",
+        "j3_broadcast_dim_join": """
+            SELECT r_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "j4_evidence_join": """
+            SELECT s_suppkey, s_name, l_orderkey, l_extendedprice, rn FROM (
+              SELECT s_suppkey, s_name, l_orderkey, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey)
+            WHERE rn <= 3""",
+        "j5_bounded_cross": """
+            WITH topc AS (
+              SELECT c_nationkey, c_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rc
+              FROM customer),
+            tops AS (
+              SELECT s_nationkey, s_suppkey,
+                     ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                       ORDER BY s_acctbal DESC, s_suppkey) AS rs
+              FROM supplier)
+            SELECT c_nationkey, c_custkey, s_suppkey
+            FROM topc JOIN tops ON c_nationkey = s_nationkey
+            WHERE rc <= 2 AND rs <= 2""",
+        "j6_self_pairs": """
+            SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+                   a.l_quantity + b.l_quantity AS qty_sum
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_linenumber < b.l_linenumber""",
+        "j7_good_bad_pairs": """
+            WITH best AS (
+              SELECT l_orderkey, l_linenumber AS best_ln FROM (
+                SELECT l_orderkey, l_linenumber,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+                FROM lineitem) WHERE rn = 1)
+            SELECT l.l_orderkey, l.l_linenumber AS other_ln, best.best_ln
+            FROM lineitem l JOIN best ON l.l_orderkey = best.l_orderkey
+            WHERE l.l_linenumber <> best.best_ln""",
+        "j_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "j_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "j11_point_lookup": """
+            SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        "a1_group_ranking_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "a2_value_counts": """
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey""",
+        "a3_multi_stat": """
+            SELECT l_returnflag,
+                   ROUND(MIN(l_quantity), 6) AS q_min,
+                   ROUND(MAX(l_quantity), 6) AS q_max,
+                   ROUND(AVG(l_quantity), 6) AS q_mean,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS q_std,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS q_median,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS q_p25,
+                   ROUND(quantile_cont(l_quantity, 0.9), 6) AS q_p90
+            FROM lineitem GROUP BY l_returnflag""",
+        "a4_cumulative": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS cum_share
+            FROM orders""",
+        "a5_mean_pool": """
+            SELECT label, pos, ROUND(AVG(v), 6) AS mean_v
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+            GROUP BY label, pos""",
+        "a6_global_totals": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice), 2) AS total_price,
+                   ROUND(AVG(l_discount), 6) AS mean_discount,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem""",
+        "a7_distinct_first": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1""",
+        "w1_rank": """
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders""",
+        "w2_norm_rank": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND((ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) - 1)
+                         * 1.0 / GREATEST(COUNT(*) OVER (PARTITION BY o_custkey) - 1, 1),
+                         6) AS norm_rank
+            FROM orders""",
+        "w3_cumsum": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
+            FROM lineitem""",
+        "w5_session_renumber": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_id,
+                     SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g)
+            SELECT user_id, event_id, session_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                     ORDER BY event_id) AS pos_in_session
+            FROM s""",
+        "o1_multikey_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50""",
+        "u1_union": """
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            UNION ALL
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'""",
+        "u2_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders""",
+        "u3_except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders""",
+        "u5_split": "SELECT c_custkey FROM customer WHERE c_custkey % 10 < 8",
+        "f1_tokenize": f"""
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest({_TOK_ALL}) AS token FROM documents)
+            GROUP BY token HAVING COUNT(*) > 20""",
+        "f7_string_predicates": """
+            SELECT p_partkey, LENGTH(p_name) AS name_len,
+                   regexp_full_match(p_name, '[0-9]+') AS is_numeric,
+                   starts_with(p_name, 'red') AS is_red
+            FROM part""",
+        "f8_date_extract": """
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   EXTRACT(month FROM o_orderdate) AS mo, COUNT(*) AS n
+            FROM orders GROUP BY yr, mo""",
+        "f9_haversine": """
+            WITH pts AS (
+              SELECT n_nationkey, n_nationkey * 3.0 - 30.0 AS lat,
+                     n_regionkey * 20.0 - 100.0 AS lon FROM nation)
+            SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b,
+                   ROUND(6371.0 * 2 * atan2(
+                     sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+                          + cos(radians(a.lat)) * cos(radians(b.lat))
+                            * pow(sin(radians(b.lon - a.lon) / 2), 2)),
+                     sqrt(1 - (pow(sin(radians(b.lat - a.lat) / 2), 2)
+                          + cos(radians(a.lat)) * cos(radians(b.lat))
+                            * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS dist_km
+            FROM pts a, pts b WHERE a.n_nationkey < b.n_nationkey""",
+        "f10_log_odds": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(ln((l_discount + 0.01) / (1 - l_discount + 0.01)), 6) AS log_odds
+            FROM lineitem""",
+        "f14_sha2": "SELECT c_custkey, sha256(c_name) AS name_sha FROM customer",
+        "f15_json": """
+            SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type""",
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id AS id, sha256(text) AS text_sha FROM documents),
+            g AS (SELECT text_sha, MIN(id) AS keeper_id, COUNT(*) AS group_size
+                  FROM h GROUP BY text_sha)
+            SELECT h.id, g.keeper_id, g.group_size FROM h JOIN g USING (text_sha)""",
+        "dedup_ngram_jaccard": f"""
+            WITH base AS (SELECT doc_id AS id, {_TOK_ALL} AS toks FROM documents),
+            sh AS (SELECT id, unnest(list_distinct(
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])
+                          ELSE toks END)) AS token FROM base),
+            sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS ni
+              FROM sh a JOIN sh b USING (token) WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.8""",
+        "ann_bruteforce_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings q, embeddings v
+              WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 3""",
+        "text_token_count": f"""
+            SELECT doc_id, len({_TOK_ALL}) AS n_ws_tokens,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+                   + LENGTH(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_bpe_tokens
+            FROM documents""",
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents""",
+    }
+    # minhash-LSH verified pairs == brute-force pairs at this tau (recall
+    # is complete for j >= 0.9 with 32 bands x 4 rows; verified in tests)
+    sql["dedup_minhash_lsh"] = sql["dedup_ngram_jaccard"]
+    # deliberately rows-only (non-SQL-expressible or approximate):
+    #   dedup_simhash (signature not expressible in ANSI SQL),
+    #   ann_lsh_topk / embedding_near_dup (approximate recall),
+    #   text_language_id / text_quality (oracle provided below),
+    #   multimodal_features (stubbed decode), er_clusters (full pipeline)
+    sql["text_language_id"] = _LANGID_SQL
+    sql["text_quality"] = _QUALITY_SQL
+    return sql
+
+
+_SCORE = {
+    "en": "len(list_intersect({t}, ['the','and','of','to','a']))",
+    "de": "len(list_intersect({t}, ['der','die','das','und','nicht']))",
+    "es": "len(list_intersect({t}, ['el','la','los','que','y']))",
+    "fr": "len(list_intersect({t}, ['le','la','les','et','des']))",
+}
+
+_LANGID_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_SCORE['en'].format(t=_TOK_ALL)} AS s_en,
+         {_SCORE['de'].format(t=_TOK_ALL)} AS s_de,
+         {_SCORE['es'].format(t=_TOK_ALL)} AS s_es,
+         {_SCORE['fr'].format(t=_TOK_ALL)} AS s_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM s"""
+
+_STOPS = "['a','and','das','der','des','die','el','et','la','le','les','los','nicht','of','que','the','to','und','y']"
+
+_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         len({_TOK_ALL}) AS n_tokens,
+         CASE WHEN len({_TOK_ALL}) > 0
+              THEN list_sum(list_transform({_TOK_ALL}, t -> LENGTH(t))) * 1.0 / len({_TOK_ALL})
+              ELSE 0.0 END AS mean_tok_len_raw,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / LENGTH(text)
+              ELSE 0.0 END AS punct_ratio_raw,
+         CASE WHEN len({_TOK_ALL}) > 0
+              THEN len(list_filter({_TOK_ALL}, t -> list_contains({_STOPS}, t))) * 1.0
+                   / len({_TOK_ALL})
+              ELSE 0.0 END AS stop_ratio_raw
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(mean_tok_len_raw, 6) AS mean_tok_len,
+       ROUND(punct_ratio_raw, 6) AS punct_ratio,
+       ROUND(stop_ratio_raw, 6) AS stop_ratio,
+       ROUND(LEAST(n_tokens / 20.0, 1.0) * 0.4
+             + (CASE WHEN mean_tok_len_raw >= 3 AND mean_tok_len_raw <= 10
+                     THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1.0 - LEAST(punct_ratio_raw * 5, 1.0)) * 0.3, 6) AS quality
+FROM f"""

@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all set-oriented DataFrame plans (the LSH/banding pieces
+reuse the Stage-1 machinery; exact verification is native
+array_intersect/array_union — JVM-side, no Python):
+
+- exact         : hash-groupBy on sha256(text)
+- ngram_jaccard : brute-force token-set Jaccard via posting-list self-join
+                  (explode -> join on token -> count intersections) — the
+                  exact oracle-checkable baseline
+- minhash_lsh   : MinHash band candidates -> exact Jaccard verification
+- simhash       : 64-bit SimHash, banded into 4x16-bit chunks -> verified
+                  Hamming distance via native bit ops
+- embedding     : near-dup by cosine over an embedding column (see
+                  similarity_search for the top-k variant)
+
+Design note (100 TB): every family blocks first (hash key, LSH band, or
+simhash chunk) so the only cross-record join is an equi-join Catalyst can
+shuffle-partition; the brute-force path exists as the correctness oracle
+and carries a hot-token cutoff for skew, mirroring the reference's
+max_frequency rule (`/root/reference/qurator/sbb_ned/index.py:652-653`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sbb_ned_spark.functions.hashing import make_minhash_band_udf
+
+
+def _token_array(text_col: str):
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+
+
+def _shingle_array(text_col: str, k: int = 3):
+    """Distinct k-gram token shingles (joined with \\x01); documents with
+    fewer than k tokens fall back to their raw tokens. Shingling keeps
+    near-identical-vocabulary corpora discriminative — unigram token sets
+    degenerate when the corpus vocabulary is small."""
+    toks = _token_array(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(toks))
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) posting list — distinct lowercase whitespace tokens."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(_token_array(text_col))).alias("token")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) posting list — distinct token k-gram shingles."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, k)).alias("token")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, keeper_id, group_size): keeper = min id per identical text."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("text_sha")
+    )
+    groups = hashed.groupBy("text_sha").agg(
+        F.min("id").alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "text_sha").select("id", "keeper_id", "group_size")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.8,
+    max_token_freq: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard >= tau via posting-list self-join.
+
+    |A ∩ B| from the shingle join; |A|,|B| from per-doc counts — never
+    materializes the full cross product. Optional hot-shingle cutoff drops
+    shingles appearing in more than ``max_token_freq`` docs (skew guard;
+    correctness unaffected for high tau when paired with verification).
+    """
+    posting = doc_shingles(df, id_col, text_col, k)
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_tok"))
+    if max_token_freq is not None:
+        hot = (
+            posting.groupBy("token")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_token_freq)
+            .select("token")
+        )
+        posting = posting.join(F.broadcast(hot), "token", "left_anti")
+    a = posting.select(F.col("id").alias("id_a"), "token")
+    b = posting.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _with_token_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), _shingle_array(text_col, k).alias("tok_set"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.8,
+    n_perms: int = 128,
+    n_bands: int = 32,
+) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact native Jaccard.
+
+    Verification is `size(array_intersect)/size(array_union)` — JVM
+    expressions — so the output equals the brute-force result whenever
+    band recall is complete at the chosen (perms, bands, tau).
+    """
+    base = _with_token_set(df, id_col, text_col)
+    hashed = base.withColumn(
+        "tok_hashes", F.transform("tok_set", lambda t: F.xxhash64(t))
+    )
+    bands_udf = make_minhash_band_udf(n_perms, n_bands)
+    keys = (
+        hashed.withColumn("bands", bands_udf("tok_hashes"))
+        .select("id", F.posexplode("bands").alias("band", "h"))
+        .select("id", F.concat_ws(":", "band", "h").alias("key"))
+    )
+    cand = (
+        keys.alias("l")
+        .join(keys.alias("r"), "key")
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("tok_set").alias("set_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("tok_set").alias("set_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def make_simhash_udf(bits: int = 64):
+    """pandas UDF: array<bigint> token hashes -> bigint SimHash."""
+
+    @F.pandas_udf("long")
+    def simhash(tok_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_hashes), dtype=np.int64)
+        for i, arr in enumerate(tok_hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bitcols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bitcols - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(bits):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 x 16-bit chunks; any pair
+    within Hamming distance 3 shares at least one exact chunk (pigeonhole)
+    -> equi-join per chunk, then verify with native bit_count(xor).
+    """
+    base = _with_token_set(df, id_col, text_col).withColumn(
+        "tok_hashes", F.transform("tok_set", lambda t: F.xxhash64(t))
+    )
+    sim = make_simhash_udf()
+    sigs = base.select("id", sim("tok_hashes").alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    l = chunks.select(
+        F.col("chunk"), F.col("val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    r = chunks.select(
+        F.col("chunk"), F.col("val"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

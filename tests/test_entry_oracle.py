@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry and its oracle_sql() on the same parquet and compare row count,
+column names, and the order-insensitive multiset of values."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _normalize_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+ORACLE = entry_mod.oracle_sql()
+WITH_ORACLE = sorted(set(entry_mod.queries()) & set(ORACLE))
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, ddb, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    cur = ddb.execute(ORACLE[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    sc, sr = _normalize_rows(spark_cols, spark_rows)
+    dc, dr = _normalize_rows(duck_cols, duck_rows)
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    if sr != dr:
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", [n for n in ROWS_ONLY if n != "er_clusters"])
+def test_rows_only_queries_run(spark, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(["record_id", "cluster_id", "cluster_size"]) <= set(df.columns)
