@@ -81,31 +81,30 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
       mh:<band>    MinHash band over token shingles
       mhs:<band>   MinHash band over skeleton shingles (rename-invariant)
     """
-    exact = features.select(
-        "record_id",
-        F.concat(F.lit("sha:"), "sha256").alias("key"),
-        F.lit("sha").alias("key_kind"),
+    # Single-pass: build array<struct<key,key_kind>> and explode ONCE. A
+    # 4-way union of selects over `features` would replay the upstream
+    # Arrow UDF projection once per branch in a composed (un-checkpointed)
+    # plan; one explode keeps the feature computation single-evaluation.
+    def kk(key_col, kind: str):
+        return F.struct(key_col.alias("key"), F.lit(kind).alias("key_kind"))
+
+    key_structs = F.concat(
+        F.array(
+            kk(F.concat(F.lit("sha:"), F.col("sha256")), "sha"),
+            kk(F.concat(F.lit("nsha:"), F.col("norm_sha")), "nsha"),
+        ),
+        F.transform(
+            "mh_content",
+            lambda h, i: kk(F.concat_ws(":", F.lit("mh"), i, h), "minhash_band"),
+        ),
+        F.transform(
+            "mh_skeleton",
+            lambda h, i: kk(F.concat_ws(":", F.lit("mhs"), i, h), "minhash_skeleton_band"),
+        ),
     )
-    norm = features.select(
-        "record_id",
-        F.concat(F.lit("nsha:"), "norm_sha").alias("key"),
-        F.lit("nsha").alias("key_kind"),
-    )
-    mh = features.select(
-        "record_id", F.posexplode("mh_content").alias("band", "h")
-    ).select(
-        "record_id",
-        F.concat_ws(":", F.lit("mh"), "band", "h").alias("key"),
-        F.lit("minhash_band").alias("key_kind"),
-    )
-    mhs = features.select(
-        "record_id", F.posexplode("mh_skeleton").alias("band", "h")
-    ).select(
-        "record_id",
-        F.concat_ws(":", F.lit("mhs"), "band", "h").alias("key"),
-        F.lit("minhash_skeleton_band").alias("key_kind"),
-    )
-    return exact.unionByName(norm).unionByName(mh).unionByName(mhs)
+    return features.select(
+        "record_id", F.explode(key_structs).alias("kk")
+    ).select("record_id", F.col("kk.key").alias("key"), F.col("kk.key_kind").alias("key_kind"))
 
 
 def split_hot_keys(

@@ -1,0 +1,76 @@
+"""Dedup-family unit tests (exact, shingle Jaccard, MinHash-LSH recall,
+SimHash) against driver documents + hand-built frames."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sbb_ned_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def test_exact_dedup_groups(spark, docs):
+    # driver documents are all distinct; plant exact dups by unioning a copy
+    planted = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(planted)
+    out = dedup.exact_dedup(both, "doc_id", "text")
+    assert out.count() == both.count()
+    # keeper is the min id within each group
+    bad = out.filter(F.col("keeper_id") > F.col("id")).count()
+    assert bad == 0
+    dup_groups = out.filter(F.col("group_size") > 1)
+    assert dup_groups.count() >= 20  # 10 planted pairs
+
+
+def test_minhash_recall_equals_bruteforce(spark, docs):
+    """LSH candidates must not lose any pair above tau (complete recall at
+    32 bands x 4 rows for j >= 0.8 on this corpus)."""
+    brute = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", tau=0.8)
+    lsh = dedup.minhash_lsh_pairs(docs, "doc_id", "text", tau=0.8)
+    b = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert b == l
+
+
+def test_simhash_finds_exact_dups(spark, docs):
+    """Hamming distance 0 pairs must include every exact-text duplicate."""
+    exact = dedup.exact_dedup(docs, "doc_id", "text")
+    groups = (
+        exact.filter(F.col("group_size") > 1)
+        .groupBy("keeper_id")
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    )
+    expected = set()
+    for g in groups:
+        ids = sorted(g["ids"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    sim = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in sim.collect()}
+    assert expected <= got
+
+
+def test_shingle_fallback_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", tau=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_hot_shingle_cutoff(spark, docs):
+    all_pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", tau=0.8)
+    capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", tau=0.8, max_token_freq=2)
+    # dropping hot shingles can only shrink the intersection counts
+    assert capped.count() <= all_pairs.count()

@@ -1,0 +1,107 @@
+"""Similarity-search, text-analysis, multimodal and streaming tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sbb_ned_spark.operators import multimodal as mm
+from sbb_ned_spark.operators import similarity_search as ss
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .persist()
+    )
+
+
+def test_bruteforce_topk_shape_and_selfexclusion(spark, vecs):
+    q = vecs.filter(F.col("vec_id") < 5)
+    out = ss.brute_force_topk(vecs, q, k=3)
+    rows = out.collect()
+    assert len(rows) == 5 * 3
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    # ranks are 1..3 per query, cosine non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert rs[0]["cosine"] >= rs[1]["cosine"] >= rs[2]["cosine"]
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, vecs):
+    """approximate top-k cosines can never exceed the exact best."""
+    q = vecs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in ss.brute_force_topk(vecs, q, k=1).collect()
+    }
+    approx = ss.lsh_topk(vecs, q, k=1)
+    for r in approx.collect():
+        assert r["cosine"] <= exact[(r["query_id"], 1)] + 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    media = mm.to_media_table(docs, "doc_id", "text", kind="image")
+    assert media.schema["blob"].dataType.typeName() == "binary"
+    feats = mm.extract_features(media, stub=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    # deterministic fake dims + sha over the exact bytes
+    again = {r["media_id"]: r for r in mm.extract_features(media, stub=True).collect()}
+    for r in rows:
+        assert again[r["media_id"]]["fake_width"] == r["fake_width"]
+        assert len(r["content_sha"]) == 64
+        assert 64 <= r["fake_width"] < 64 + 1024
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(b"bytes", "image")
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from sbb_ned_spark.streaming import events as sev
+
+    src = str(tmp_path / "in")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    agg = sev.windowed_event_counts(stream)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sev.run_available_now(agg, out, ckpt, mode="append")
+    got = spark.read.parquet(out)
+    batch = sev.windowed_event_counts(spark.read.parquet(src))
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must match the batch computation exactly
+    j = got.join(
+        batch.withColumnRenamed("n", "n_b").withColumnRenamed("sum_value", "s_b"),
+        ["window_start", "window_end", "event_type"],
+        "left",
+    )
+    assert j.filter(F.col("n") != F.col("n_b")).count() == 0
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    from sbb_ned_spark import fixtures
+    from sbb_ned_spark.streaming import events as sev
+
+    pdf, _ = fixtures.generate_files_pdf("tiny")
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(pdf.head(40)).write.parquet(src)
+    feats = sev.incremental_ingest(spark, src)
+    out = str(tmp_path / "feat_out")
+    sev.run_available_now(feats, out, str(tmp_path / "feat_ckpt"))
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert "sha256" in got.columns and "mh_content" in got.columns
