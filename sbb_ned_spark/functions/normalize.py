@@ -5,15 +5,16 @@ Analog of the reference's surface normalization
 split on separators, strip non-word chars) re-targeted at source code and
 kept entirely JVM-side (whole-stage codegen; no Python in this hot path).
 
-Produces, per file row:
-- ``norm_content``  — comments stripped, lowercased, whitespace collapsed
-- ``tokens``        — identifier/word tokens (F1/F3 analogs)
-- ``skeleton``      — tokens with identifiers canonicalized to ``ID`` and
-  numbers to ``N`` (rename-invariant structure; plays the role the
-  reference's anagram/embedding normalization plays for OCR'd surfaces,
-  `embeddings/anagram.py:21-38`)
-- ``shingles`` / ``skeleton_shingles`` — k-gram shingle hash arrays
-  (bigint) feeding MinHash.
+Hot-path design: token strings are hashed ONCE (`tok_hashes`); skeleton,
+shingles and token sets are all derived in hash space. Two measured
+pitfalls drove this shape (117k files, local[8]):
+
+- per-token regex (`rlike('^[0-9]+$')`) in the skeleton cost ~16s —
+  replaced by an exception-free ``try_cast``;
+- per-shingle string building (`concat_ws(slice(...))` inside a lambda)
+  is quadratic-ish and allocation-bound (300s vs 17s on a 20k sample) —
+  replaced by shift/XOR combination of consecutive token hashes via
+  ``zip_with`` over shifted slices.
 """
 
 from __future__ import annotations
@@ -46,35 +47,63 @@ def tokens(norm: Column, min_len: int = 2) -> Column:
 
 
 def skeleton(toks: Column) -> Column:
-    """Rename-invariant token stream: keywords and numeric literals kept
-    verbatim, identifiers canonicalized to ``ID``.
+    """Rename-invariant token stream (string form — reference parity /
+    debugging; the hot path uses :func:`skeleton_hashes`).
 
-    Keeping literal constants makes the skeleton rename-invariant but still
-    discriminative between structurally-similar non-duplicates (the same
-    role `match_uniqueness` plays in the reference ranking,
-    `index.py:692-703`)."""
+    Keywords and numeric literals kept verbatim, identifiers
+    canonicalized to ``ID``. Keeping literal constants makes the skeleton
+    rename-invariant but still discriminative between structurally-similar
+    non-duplicates (the same role `match_uniqueness` plays in the
+    reference ranking, `index.py:692-703`)."""
     kw = F.lit(KEYWORDS)  # array literal, broadcast as part of the plan
     return F.transform(
         toks,
         lambda t: F.when(F.array_contains(kw, t), t)
-        .when(t.rlike(r"^[0-9]+$"), t)
+        .when(t.try_cast("bigint").isNotNull(), t)
         .otherwise(F.lit("ID")),
     )
 
 
-def shingle_hashes(toks: Column, k: int = 3) -> Column:
-    """k-gram shingles over a token array, hashed to bigint (xxhash64).
-
-    Entirely native: sequence + slice + concat_ws + xxhash64. Returns
-    array<bigint>; distinct-ness is applied by the caller.
-    """
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, k)))
-    hashed = F.transform(grams, lambda g: F.xxhash64(g))
-    return F.when(n >= k, F.array_distinct(hashed)).otherwise(
-        F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+def skeleton_hashes(toks: Column, th: Column) -> Column:
+    """Hash-space skeleton: keywords and numeric literals keep their own
+    token hash, identifiers collapse to a single ID hash. No skeleton
+    string array is materialized; the numeric test is ``try_cast``
+    (exception-free JVM parse), not a per-token regex."""
+    kw = F.lit(KEYWORDS)
+    id_hash = F.xxhash64(F.lit("\x00__ID__"))  # constant-folded literal
+    return F.zip_with(
+        toks,
+        th,
+        lambda t, h: F.when(F.array_contains(kw, t), h)
+        .when(t.try_cast("bigint").isNotNull(), h)
+        .otherwise(id_hash),
     )
+
+
+def shingle_hashes_from_hashes(th: Column, k: int = 3) -> Column:
+    """k-gram shingle hashes (bigint) from an already-hashed token array.
+
+    A k-gram hash is the positional shift/XOR combination of k
+    consecutive token hashes, built with ``zip_with`` over shifted
+    ``slice``s so every input is evaluated once per row (O(n·k)).
+    Collision quality is ample for blocking keys."""
+    n = F.size(th)
+
+    def _mix(shift: int):
+        # factory: zip_with inspects lambda arity, so the shift must be
+        # closed over, not passed as a defaulted third parameter
+        return lambda x, y: x.bitwiseXOR(F.shiftleft(y, shift))
+
+    acc = F.transform(th, lambda x: F.shiftleft(x, k - 1))
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(th, j + 1, n), _mix(k - 1 - j))
+    grams = F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.when(n >= k, grams).otherwise(F.array_distinct(th))
+
+
+def shingle_hashes(toks: Column, k: int = 3) -> Column:
+    """k-gram shingle hashes over a (string) token array."""
+    return shingle_hashes_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)), k)
 
 
 def token_hashes(toks: Column) -> Column:
@@ -84,17 +113,22 @@ def token_hashes(toks: Column) -> Column:
 
 
 def with_normalized_columns(df, content_col: str = "content", k: int = 3, min_len: int = 2):
-    """Attach all derived normalization columns in one projection."""
-    norm = norm_content(F.col(content_col))
-    toks = tokens(norm, min_len)
-    skel = skeleton(toks)
+    """Attach all derived normalization columns.
+
+    Built as a withColumn chain of NON-cheap aliases on purpose:
+    CollapseProject keeps multiply-referenced expensive aliases
+    materialized, so ``tokens`` and ``tok_hashes`` are evaluated once per
+    row even though four downstream columns consume them."""
+    df = df.withColumn("norm_content", norm_content(F.col(content_col)))
+    df = df.withColumn("tokens", tokens(F.col("norm_content"), min_len))
+    df = df.withColumn("tok_hashes", F.transform("tokens", lambda t: F.xxhash64(t)))
+    df = df.withColumn("skel_hashes", skeleton_hashes(F.col("tokens"), F.col("tok_hashes")))
     return (
-        df.withColumn("norm_content", norm)
-        .withColumn("tokens", toks)
-        .withColumn("skeleton", skel)
-        .withColumn("shingles", shingle_hashes(F.col("tokens"), k))
-        .withColumn("skeleton_shingles", shingle_hashes(F.col("skeleton"), k + 1))
-        .withColumn("token_set", token_hashes(F.col("tokens")))
+        df.withColumn("shingles", shingle_hashes_from_hashes(F.col("tok_hashes"), k))
+        .withColumn(
+            "skeleton_shingles", shingle_hashes_from_hashes(F.col("skel_hashes"), k + 1)
+        )
+        .withColumn("token_set", F.array_sort(F.array_distinct("tok_hashes")))
         .withColumn("n_tokens", F.size("tokens"))
-        .withColumn("norm_sha", F.sha2(norm, 256))
+        .withColumn("norm_sha", F.sha2("norm_content", 256))
     )

@@ -62,9 +62,7 @@ def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -
         "n_tokens",
         F.length("content").alias("n_chars"),
         "token_set",
-        F.slice(
-            F.transform("skeleton", lambda t: F.xxhash64(t)), 1, MAX_SKELETON_SEQ
-        ).alias("skeleton_seq"),
+        F.slice("skel_hashes", 1, MAX_SKELETON_SEQ).alias("skeleton_seq"),
         minhash_content("shingles").alias("mh_content"),
         minhash_skel("skeleton_shingles").alias("mh_skeleton"),
         trigram("norm_content").alias("trigram_vec"),
@@ -141,6 +139,11 @@ def candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_keys"), F.min("key").alias("key"))
     )
+    # evidence floor: true near-dups share many band keys (j^rows_per_band
+    # per band over many bands); singleton collisions are noise. This is
+    # the blocking-precision knob that bounds Stage-2 cost at scale.
+    if config.min_shared_keys > 1:
+        pairs = pairs.filter(F.col("n_shared_keys") >= config.min_shared_keys)
     # per-record candidate cap: strongest-evidence-first, deterministic
     # tie-break on id_b (SURVEY.md §7.4.1 tie-break fidelity)
     w = Window.partitionBy("id_a").orderBy(
