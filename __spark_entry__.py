@@ -499,6 +499,48 @@ def q_f9_haversine(spark, sf):
     return j.select("k_a", "k_b", F.round(km, 3).alias("dist_km"))
 
 
+def q_f4_translate(spark, sf):
+    # F4: char-map normalization via translate (`webapp/app.py:331-333`)
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.translate(F.lower(F.trim("text")), "aeiou", "@31OU").alias("folded")
+    )
+
+
+def q_f11_softmax(spark, sf):
+    # F11: softmax within a group (`models/bert.py:321`) — window max/sum
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    x = F.col("l_extendedprice") / 10000.0
+    mx = F.max(x).over(w)
+    e = F.exp(x - mx)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(e / F.sum(e).over(w), 6).alias("softmax"),
+    )
+
+
+def q_f12_run_length(spark, sf):
+    # F12: run-length grouping (`models/sentence_lookup.py:57-84`) —
+    # longest run of equal adjacent event_types per user
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    seg = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = e.select("user_id", "event_type", seg.alias("seg"))
+    run_lens = runs.groupBy("user_id", "event_type", "seg").agg(
+        F.count("*").alias("run_len")
+    )
+    return run_lens.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("longest_run")
+    )
+
+
 def q_f10_log_odds(spark, sf):
     # F10: log-odds transform (`classifier_decider_queue.py:74`)
     li = _t(spark, sf, "lineitem")
@@ -687,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_string_predicates": q_f7_string_predicates,
         "f8_date_extract": q_f8_date_extract,
         "f9_haversine": q_f9_haversine,
+        "f4_translate": q_f4_translate,
+        "f11_softmax": q_f11_softmax,
+        "f12_run_length": q_f12_run_length,
         "f10_log_odds": q_f10_log_odds,
         "f14_sha2": q_f14_sha2,
         "f15_json": q_f15_json,
@@ -922,6 +967,34 @@ def oracle_sql() -> dict[str, str]:
                           + cos(radians(a.lat)) * cos(radians(b.lat))
                             * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS dist_km
             FROM pts a, pts b WHERE a.n_nationkey < b.n_nationkey""",
+        "f4_translate": """
+            SELECT doc_id, translate(lower(trim(text)), 'aeiou', '@31OU') AS folded
+            FROM documents""",
+        "f11_softmax": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(exp(l_extendedprice / 10000.0
+                             - MAX(l_extendedprice / 10000.0) OVER w)
+                         / SUM(exp(l_extendedprice / 10000.0
+                                   - MAX(l_extendedprice / 10000.0) OVER w)) OVER w,
+                         6) AS softmax
+            FROM lineitem WINDOW w AS (PARTITION BY l_orderkey)""",
+        "f12_run_length": """
+            WITH g AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN LAG(event_type) OVER w IS NULL
+                               OR LAG(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_type,
+                     SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+              FROM g),
+            r AS (
+              SELECT user_id, event_type, seg, COUNT(*) AS run_len
+              FROM s GROUP BY user_id, event_type, seg)
+            SELECT user_id, event_type, MAX(run_len) AS longest_run
+            FROM r GROUP BY user_id, event_type""",
         "f10_log_odds": """
             SELECT l_orderkey, l_linenumber,
                    ROUND(ln((l_discount + 0.01) / (1 - l_discount + 0.01)), 6) AS log_odds

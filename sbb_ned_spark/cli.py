@@ -27,6 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--scoring-method", default="mapInPandas",
                     choices=["mapInPandas", "applyInPandas"])
+    ap.add_argument("--lineage", action="store_true",
+                    help="write per-partition lineage table (needs --checkpoint-dir)")
     args = ap.parse_args(argv)
 
     from sbb_ned_spark import fixtures
@@ -46,7 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     files = fixtures.load_files_df(spark, args.scale)
     n_files = files.count()
     res = P.run_pipeline(
-        files, config, resume=args.resume, scoring_method=args.scoring_method
+        files,
+        config,
+        resume=args.resume,
+        scoring_method=args.scoring_method,
+        collect_lineage=args.lineage,
     )
     _, members = fixtures.generate_files_pdf(args.scale)
     labeled = spark.createDataFrame(fixtures.generate_labeled_pairs_pdf(members))

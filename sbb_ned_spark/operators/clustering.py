@@ -45,7 +45,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
     out = joined.filter(F.col("v") > F.col("u")).select(
         F.col("v").alias("id_a"), F.col("m").alias("id_b")
     )
-    return out.filter(F.col("id_a") != F.col("id_b")).distinct()
+    # no distinct here: duplicates don't affect the min-aggregations in the
+    # following small-star pass, and the per-iteration dedup there keeps
+    # the edge set bounded — saves one shuffle per iteration
+    return out.filter(F.col("id_a") != F.col("id_b"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -80,25 +83,39 @@ def connected_components(
     Each iteration alternates large-star / small-star and checkpoints to
     cut lineage; convergence = identical (count, hash) edge fingerprint.
     """
-    cur = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
-    # materialize the input once: each star pass consumes its input twice
-    # (group-by min + join), which would otherwise re-run the full scoring
-    # lineage on every iteration
-    cur = cur.localCheckpoint(eager=True)
-    n_iter = 0
-    prev_fp = _edge_fingerprint(cur)
-    for i in range(config.cc_max_iterations):
-        n_iter = i + 1
-        sym = _symmetric(cur)
-        after_large = _large_star(sym)
-        sym2 = _symmetric(after_large)
-        cur = _small_star(sym2)
-        if config.cc_checkpoint_every and n_iter % config.cc_checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    spark = edges.sparkSession
+    # the CC loop runs many small jobs over a shrinking edge set; a large
+    # shuffle-partition count would pay per-task scheduling for mostly
+    # empty partitions each iteration
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        cur = (
+            edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
+        )
+        # materialize the input once: each star pass consumes its input
+        # twice (group-by min + join), which would otherwise re-run the
+        # full scoring lineage on every iteration. eager=False: the
+        # fingerprint action right after is the materializing pass.
+        cur = cur.localCheckpoint(eager=False)
+        n_iter = 0
+        prev_fp = _edge_fingerprint(cur)
+        for i in range(config.cc_max_iterations):
+            n_iter = i + 1
+            sym = _symmetric(cur)
+            after_large = _large_star(sym)
+            sym2 = _symmetric(after_large)
+            cur = _small_star(sym2)
+            if config.cc_checkpoint_every and n_iter % config.cc_checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=False)
+            fp = _edge_fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # after convergence every edge is (member -> root); roots may only
     # appear on the id_b side

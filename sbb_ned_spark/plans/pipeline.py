@@ -80,7 +80,12 @@ def run_pipeline(
     resume: bool = False,
     scoring_method: str = "mapInPandas",
     collect_lineage: bool = False,
+    light: bool = False,
 ) -> PipelineResult:
+    """``light=True`` skips the per-stage count() barriers (rows_out=None):
+    stages persist lazily and materialize on first downstream use, removing
+    four serial passes — the benchmark mode. Durable checkpoints imply the
+    counts anyway (the parquet write is a full pass)."""
     spark = files.sparkSession
     root = config.checkpoint_dir
     metrics: list[dict] = []
@@ -90,7 +95,9 @@ def run_pipeline(
         t0 = time.monotonic()
         df = fn()
         df = _write_stage(df, root, stage, {"config_threshold": config.decision_threshold})
-        n = df.count()
+        n = None
+        if not light or root:
+            n = df.count()
         metrics.append(
             {
                 "stage": stage,
@@ -116,7 +123,7 @@ def run_pipeline(
     else:
         keys = blocking.blocking_keys(feats, config)
         cold_raw, hot = blocking.split_hot_keys(keys, config)
-        hot_n = hot.count()
+        hot_n = None if light else hot.count()
         cold, _ = timed("blocking_keys", lambda: cold_raw, rows_in=n_files)
         metrics[-1]["hot_keys_dropped"] = hot_n
 

@@ -58,7 +58,7 @@ def run(cpus: int, scale: str) -> None:
     n_files = files.count()
 
     t0 = time.monotonic()
-    res = P.run_pipeline(files, config)
+    res = P.run_pipeline(files, config, light=True)
     res.clusters.count()
     wall = time.monotonic() - t0
 
