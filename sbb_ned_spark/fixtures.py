@@ -66,6 +66,7 @@ SCALES = {
     "tiny": FixtureScale(n_bases=55, n_families=10, vendored_copies=12),
     "small": FixtureScale(n_bases=1300, n_families=60, vendored_copies=40),
     "bench": FixtureScale(n_bases=26000, n_families=400, vendored_copies=200),
+    "bench4": FixtureScale(n_bases=104000, n_families=1600, vendored_copies=800),
 }
 
 
