@@ -971,13 +971,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, translate(lower(trim(text)), 'aeiou', '@31OU') AS folded
             FROM documents""",
         "f11_softmax": """
+            WITH m AS (
+              SELECT l_orderkey, l_linenumber,
+                     exp(l_extendedprice / 10000.0
+                         - MAX(l_extendedprice / 10000.0)
+                             OVER (PARTITION BY l_orderkey)) AS e
+              FROM lineitem)
             SELECT l_orderkey, l_linenumber,
-                   ROUND(exp(l_extendedprice / 10000.0
-                             - MAX(l_extendedprice / 10000.0) OVER w)
-                         / SUM(exp(l_extendedprice / 10000.0
-                                   - MAX(l_extendedprice / 10000.0) OVER w)) OVER w,
-                         6) AS softmax
-            FROM lineitem WINDOW w AS (PARTITION BY l_orderkey)""",
+                   ROUND(e / SUM(e) OVER (PARTITION BY l_orderkey), 6) AS softmax
+            FROM m""",
         "f12_run_length": """
             WITH g AS (
               SELECT user_id, event_type, ts, event_id,

@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic row salt in [0, n_salts): spreads any single key over
-    ``n_salts`` shuffle partitions. Derived from a row hash, not rand(),
-    so re-runs are identical (determinism requirement)."""
+    """Deterministic row salt in [0, n_salts): spreads a hot key's rows
+    over ``n_salts`` shuffle partitions. Derived from a full-row hash, not
+    rand(), so re-runs are identical (determinism requirement); byte-equal
+    duplicate rows share a salt on purpose — they combine map-side."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 

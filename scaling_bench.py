@@ -81,16 +81,27 @@ def run(cpus: int, scale: str) -> None:
     spark.stop()
 
 
-def report() -> None:
+def report(n: int = 1, n4: int = 4) -> None:
+    """Compare the N-core and 4N-core entries currently in RESULTS.
+
+    RESULTS keeps the latest run per core count — delete it when the
+    pipeline code changes, or stale mixed-version entries will produce a
+    meaningless ratio."""
     with open(RESULTS) as f:
         results = json.load(f)
-    r8, r32 = results["8"], results["32"]
-    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    try:
+        rn, r4 = results[str(n)], results[str(n4)]
+    except KeyError as e:
+        raise SystemExit(
+            f"missing measurement for cpus={e}; run `run --cpus {n}` and "
+            f"`run --cpus {n4}` first (have: {sorted(results)})"
+        )
+    eff = (r4["files_per_sec"] / rn["files_per_sec"]) / (n4 / n)
     summary = {
-        "n_files": r8["n_files"],
-        "throughput_local8_files_per_sec": r8["files_per_sec"],
-        "throughput_local32_files_per_sec": r32["files_per_sec"],
-        "speedup_8_to_32": round(r32["files_per_sec"] / r8["files_per_sec"], 3),
+        "n_files": rn["n_files"],
+        f"throughput_local{n}_files_per_sec": rn["files_per_sec"],
+        f"throughput_local{n4}_files_per_sec": r4["files_per_sec"],
+        f"speedup_{n}_to_{n4}": round(r4["files_per_sec"] / rn["files_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
         "gate": eff >= 0.8,
     }
@@ -100,25 +111,27 @@ def report() -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["prepare", "run", "report", "all"])
-    ap.add_argument("--cpus", type=int, default=32)
-    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument("--n", type=int, default=1, help="N cores for report/all")
+    ap.add_argument("--n4", type=int, default=4, help="4N cores for report/all")
+    ap.add_argument("--scale", default="bench4")
     args = ap.parse_args()
     if args.cmd == "prepare":
         prepare(args.scale)
     elif args.cmd == "run":
         run(args.cpus, args.scale)
     elif args.cmd == "report":
-        report()
+        report(args.n, args.n4)
     elif args.cmd == "all":
         prepare(args.scale)
-        for cpus in (8, 32):
+        for cpus in (args.n4, args.n):
             # fresh JVM per measurement: a shared JVM would leak warmth
             # from one parallelism level into the other
             subprocess.run(
                 [sys.executable, __file__, "run", "--cpus", str(cpus), "--scale", args.scale],
                 check=True,
             )
-        report()
+        report(args.n, args.n4)
     return 0
 
 

@@ -10,9 +10,11 @@ from sbb_ned_spark.operators import skew
 
 @pytest.fixture(scope="module")
 def skewed(spark):
-    # one giant key ("hot") + many small keys
+    # one giant key ("hot") + many small keys; v is row-unique because the
+    # salt is a content hash — identical rows deliberately share a salt
+    # (they combine map-side anyway)
     hot = spark.range(0, 5000).select(
-        F.lit("hot").alias("k"), (F.col("id") % 7).alias("v")
+        F.lit("hot").alias("k"), F.col("id").alias("v")
     )
     cold = spark.range(0, 500).select(
         F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
