@@ -372,15 +372,22 @@ def q_w2_norm_rank(spark, sf):
 def q_w3_cumsum(spark, sf):
     # W3: cumulative sum (`decider.py:117`)
     li = _t(spark, sf, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the data — the frame
+    # order must be total or tied rows accumulate in engine-dependent
+    # order (tie-break fidelity, SURVEY.md §7.4.1); rows tied on
+    # (linenumber, quantity) are swap-invariant for the sum
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # exact decimal accumulation (DuckDB's windowed double-sum uses a
+    # segment tree -> different addition order -> ulp drift), surfaced
+    # back as double: exact decimal -> double conversion is deterministic
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_quantity").over(w), 2).alias("cum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("cum_qty"),
     )
 
 
@@ -906,8 +913,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders""",
         "w3_cumsum": """
             SELECT l_orderkey, l_linenumber,
-                   ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
             FROM lineitem""",
         "w5_session_renumber": """
             WITH g AS (
