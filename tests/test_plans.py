@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md §4 claims
+Catalyst provides must actually appear in the plans (pushdown, pruning,
+broadcast choice, no content column in shuffled stages)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, em.queries()["p4_threshold"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_discount), LessThan(l_discount,0.05)" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    plan = _formatted(spark, em.queries()["p4_threshold"](spark, SF))
+    # only the 3 projected columns reach the parquet scan
+    line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in line and "l_discount" in line
+    assert "l_extendedprice" not in line and "l_partkey" not in line
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _formatted(spark, em.queries()["j3_broadcast_dim_join"](spark, SF))
+    # formatted mode prints each op in the tree AND a detail section
+    n_ops = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "BroadcastHashJoin" in l
+    )
+    assert n_ops == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_mapside_partial(spark):
+    plan = _formatted(spark, em.queries()["a1_group_ranking_stats"](spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_no_content_column_in_blocking_plan(spark, tiny_files):
+    """raw content must never enter a shuffle: record_features projects it
+    out before any wide transformation (SURVEY.md §7.4.4)."""
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators import blocking
+
+    feats = blocking.record_features(tiny_files, PipelineConfig())
+    keys = blocking.blocking_keys(feats, PipelineConfig())
+    plan = _formatted(spark, keys)
+    exchanges = [
+        chunk for chunk in plan.split("\n\n") if chunk.strip().startswith("(")
+    ]
+    # find Exchange op ids, ensure the columns listed for them omit content
+    for line in plan.splitlines():
+        if "Exchange" in line and "content" in line:
+            pytest.fail(f"content column crosses a shuffle: {line}")
+
+
+def test_scoring_uses_arrow_map_not_python_udf(spark, tiny_files):
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators import blocking, scoring
+
+    cfg = PipelineConfig()
+    feats = blocking.record_features(tiny_files, cfg)
+    cold, _ = blocking.split_hot_keys(blocking.blocking_keys(feats, cfg), cfg)
+    pairs = blocking.candidate_pairs(cold, cfg)
+    plan = _formatted(spark, scoring.score_pairs(pairs, feats, cfg))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python would show here
