@@ -690,7 +690,7 @@ def q_er_clusters(spark, sf):
     from sbb_ned_spark.plans import pipeline as P
 
     files = fixtures.load_files_df(spark, "tiny")
-    res = P.run_pipeline(files, PipelineConfig())
+    res = P.run_pipeline(files, PipelineConfig(), light=True)
     return res.clusters.select("record_id", "cluster_id")
 
 
