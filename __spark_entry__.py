@@ -306,14 +306,16 @@ def q_a4_cumulative(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     tot = Window.partitionBy("o_custkey")
+    # exact decimal accumulation on both engines (w3_cumsum pattern):
+    # 2dp money is exact in decimal(18,2); DuckDB's segment-tree windowed
+    # double-sum would otherwise drift by a ulp at rounding boundaries
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    num = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+    den = F.sum(dec).over(tot).cast("double")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
-            / F.sum("o_totalprice").over(tot),
-            6,
-        ).alias("cum_share"),
+        F.round(num / den, 6).alias("cum_share"),
     )
 
 
@@ -321,7 +323,14 @@ def q_a5_mean_pool(spark, sf):
     # A5: mean-pool embedding aggregation (`embeddings/base.py:236-253`)
     e = _t(spark, sf, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    return ex.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    # exact decimal accumulation: float -> decimal(25,10) is a per-value
+    # deterministic conversion, the SUM is exact, and the single division
+    # of identical doubles is IEEE-identical across engines
+    return ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(25,10)")).cast("double") / F.count("*"), 6
+        ).alias("mean_v")
+    )
 
 
 def q_a6_global_totals(spark, sf):
@@ -395,6 +404,9 @@ def q_w5_session_renumber(spark, sf):
     # W5: segment re-numbering with conditional reset (`clef_hipe_2022.py:49-60`)
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap contract: integer seconds on BOTH engines (Spark unix_timestamp
+    # truncates; the oracle uses floor(epoch(ts))) and session_id is BIGINT
+    # on both (oracle wraps its windowed SUM in CAST(.. AS BIGINT))
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     bounded = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
     sess = F.sum(bounded).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -441,7 +453,7 @@ def q_u3_except(spark, sf):
     # U3/U4: set difference (`decider.py:99`)
     c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
     o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)  # EXCEPT (distinct) directly — one agg, not exceptAll+distinct
 
 
 def q_u5_split(spark, sf):
@@ -695,12 +707,26 @@ def q_er_clusters(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver checks the first 50 entries per round.
+    # Round-1 recorded rows only for the first 50, leaving the ann/text/
+    # multimodal/er entries unchecked — so the previously-unchecked queries
+    # (plus the newly-fixed w5 and the newly-oracled dedup_simhash) lead,
+    # and long-green trivial basics rotate to the tail.
     return {
-        "s1_full_scan": q_s1_full_scan,
+        # --- priority: fixed / newly-oracled / previously-unchecked ---------
+        "w5_session_renumber": q_w5_session_renumber,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_language_id": q_text_language_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "er_clusters": q_er_clusters,
+        # --- previously-green operators --------------------------------------
         "s2_per_key_limit": q_s2_per_key_limit,
-        "p1_projection": q_p1_projection,
-        "p2_filter_eq": q_p2_filter_eq,
-        "p4_threshold": q_p4_threshold,
         "p5_hot_key_filter": q_p5_hot_key_filter,
         "p6_sanity_filter": q_p6_sanity_filter,
         "p7_prefix_filter": q_p7_prefix_filter,
@@ -713,8 +739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_bounded_cross": q_j5_bounded_cross,
         "j6_self_pairs": q_j6_self_pairs,
         "j7_good_bad_pairs": q_j7_good_bad_pairs,
-        "j_semi": q_j_semi,
-        "j_anti": q_j_anti,
         "j11_point_lookup": q_j11_point_lookup,
         "a1_group_ranking_stats": q_a1_group_ranking_stats,
         "a2_value_counts": q_a2_value_counts,
@@ -726,35 +750,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_rank": q_w1_rank,
         "w2_norm_rank": q_w2_norm_rank,
         "w3_cumsum": q_w3_cumsum,
-        "w5_session_renumber": q_w5_session_renumber,
         "o1_multikey_topk": q_o1_multikey_topk,
-        "u1_union": q_u1_union,
         "u2_intersect": q_u2_intersect,
         "u3_except": q_u3_except,
-        "u5_split": q_u5_split,
         "f1_tokenize": q_f1_tokenize,
-        "f7_string_predicates": q_f7_string_predicates,
         "f8_date_extract": q_f8_date_extract,
         "f9_haversine": q_f9_haversine,
-        "f4_translate": q_f4_translate,
         "f11_softmax": q_f11_softmax,
         "f12_run_length": q_f12_run_length,
         "f10_log_odds": q_f10_log_odds,
-        "f14_sha2": q_f14_sha2,
         "f15_json": q_f15_json,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "text_language_id": q_text_language_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "er_clusters": q_er_clusters,
+        # --- long-green trivial tail (rotates out under the 50-query cap) ----
+        "s1_full_scan": q_s1_full_scan,
+        "p1_projection": q_p1_projection,
+        "p2_filter_eq": q_p2_filter_eq,
+        "p4_threshold": q_p4_threshold,
+        "j_semi": q_j_semi,
+        "j_anti": q_j_anti,
+        "u1_union": q_u1_union,
+        "u5_split": q_u5_split,
+        "f4_translate": q_f4_translate,
+        "f7_string_predicates": q_f7_string_predicates,
+        "f14_sha2": q_f14_sha2,
     }
 
 
@@ -877,13 +897,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "a4_cumulative": """
             SELECT o_custkey, o_orderkey,
-                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS cum_share
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                         / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                             PARTITION BY o_custkey) AS DOUBLE), 6) AS cum_share
             FROM orders""",
         "a5_mean_pool": """
-            SELECT label, pos, ROUND(AVG(v), 6) AS mean_v
+            SELECT label, pos,
+                   ROUND(CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v
             FROM (SELECT label, unnest(embedding) AS v,
                          generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
             GROUP BY label, pos""",
@@ -921,13 +944,14 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN LAG(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                           THEN 1 ELSE 0 END AS boundary
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id, event_id,
-                     SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, event_id, session_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
@@ -1057,10 +1081,36 @@ def oracle_sql() -> dict[str, str]:
     # minhash-LSH verified pairs == brute-force pairs at this tau (recall
     # is complete for j >= 0.9 with 32 bands x 4 rows; verified in tests)
     sql["dedup_minhash_lsh"] = sql["dedup_ngram_jaccard"]
-    # deliberately rows-only (non-SQL-expressible or approximate):
-    #   dedup_simhash (signature not expressible in ANSI SQL),
+    # SimHash: the engine hashes shingles with the sha256-derived 60-bit
+    # family (dedup._sha60) precisely so DuckDB can recompute the full
+    # signature; the oracle brute-forces all pairs (oracle cost is fine at
+    # sf0.01 — the ENGINE blocks via 16-bit chunks, the oracle need not)
+    sql["dedup_simhash"] = f"""
+        WITH base AS (SELECT doc_id AS id, {_TOK_ALL} AS toks FROM documents),
+        sh AS (SELECT id, unnest(list_distinct(
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])
+                      ELSE toks END)) AS token FROM base),
+        th AS (SELECT id, CAST('0x' || substring(sha256(token), 1, 15) AS BIGINT) AS h
+               FROM sh),
+        votes AS (
+          SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits
+          GROUP BY id, b),
+        sigs AS (
+          SELECT id, CAST(SUM(CASE WHEN vote > 0
+                                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY id),
+        sig0 AS (
+          SELECT base.id, COALESCE(sigs.sig, 0) AS sig
+          FROM base LEFT JOIN sigs ON base.id = sigs.id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sig0 a JOIN sig0 b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+    # deliberately rows-only (approximate or full-pipeline):
     #   ann_lsh_topk / embedding_near_dup (approximate recall),
-    #   text_language_id / text_quality (oracle provided below),
     #   multimodal_features (stubbed decode), er_clusters (full pipeline)
     sql["text_language_id"] = _LANGID_SQL
     sql["text_quality"] = _QUALITY_SQL

@@ -191,6 +191,16 @@ def make_simhash_udf(bits: int = 64):
     return simhash
 
 
+def _sha60(t):
+    """60-bit token hash = first 15 hex chars of sha256, parsed as int.
+
+    Chosen over xxhash64 because BOTH engines can compute it (DuckDB:
+    ``CAST('0x' || substring(sha256(t),1,15) AS BIGINT)``), making the
+    SimHash signature — and therefore the whole operator — oracle-checkable
+    end to end. Always non-negative (fits in 60 bits)."""
+    return F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -199,9 +209,13 @@ def simhash_pairs(
     Blocking: split the 64-bit signature into 4 x 16-bit chunks; any pair
     within Hamming distance 3 shares at least one exact chunk (pigeonhole)
     -> equi-join per chunk, then verify with native bit_count(xor).
+
+    Token hashes are the sha256-derived 60-bit family (:func:`_sha60`) so
+    the signature is reproducible in ANSI-ish SQL — the driver oracle
+    recomputes the full SimHash in DuckDB and compares pairs exactly.
     """
     base = _with_token_set(df, id_col, text_col).withColumn(
-        "tok_hashes", F.transform("tok_set", lambda t: F.xxhash64(t))
+        "tok_hashes", F.transform("tok_set", _sha60)
     )
     sim = make_simhash_udf()
     sigs = base.select("id", sim("tok_hashes").alias("sig"))
