@@ -695,6 +695,16 @@ def q_multimodal_features(spark, sf):
     return mm.extract_features(media, stub=True)
 
 
+def q_multimodal_decode(spark, sf):
+    # REAL header decode end-to-end: Catalyst-encoded PNG/WAV bytes ->
+    # struct-parsed width/height/duration; the oracle recomputes the
+    # planted dimensions arithmetically
+    from sbb_ned_spark.operators import multimodal as mm
+
+    d = _t(spark, sf, "documents")
+    return mm.decode_features(mm.synthesize_media(d, "doc_id"))
+
+
 def q_er_clusters(spark, sf):
     # the ER core on the synthetic files table (fixtures are deterministic)
     from sbb_ned_spark import fixtures
@@ -724,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "er_clusters": q_er_clusters,
         # --- previously-green operators --------------------------------------
         "s2_per_key_limit": q_s2_per_key_limit,
@@ -1076,6 +1087,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id,
                    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents""",
+        "multimodal_decode": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 44 END AS INTEGER) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 512 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 384 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 5000 END AS INTEGER)
+                       AS duration_ms
             FROM documents""",
     }
     # minhash-LSH verified pairs == brute-force pairs at this tau (recall
