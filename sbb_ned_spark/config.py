@@ -28,6 +28,10 @@ class PipelineConfig:
     shingle_size: int = 3             # token-shingle width for MinHash
     max_key_frequency: int = 200      # hot-key cutoff (reference: 1000 @ KB scale)
     max_candidates_per_record: int = 25  # reference max_candidates=25
+    # hard per-record Stage-2 fan-in ceiling: a pair nominated by one
+    # endpoint is still dropped when it exceeds this rank on the OTHER
+    # endpoint (bounds a popular min-id record's pair count in huge blocks)
+    max_fan_in: int = 100
     # pairs must share >= this many blocking keys. True near-dups share
     # many band keys (exact dups share all ~66); single-key collisions are
     # noise — measured at `small`: k=2 cuts candidate pairs 4x (59k->15k),
@@ -39,11 +43,18 @@ class PipelineConfig:
     # --- Stage 2: scoring ---------------------------------------------------
     # combined score = weighted blend of similarity families
     # (ANN dist ~ trigram cosine; match_coverage/uniqueness ~ token jaccard;
-    #  BERT pair proba ~ skeleton sequence ratio)
-    w_token_jaccard: float = 0.30
-    w_skeleton_ratio: float = 0.35
-    w_trigram_cosine: float = 0.25
-    w_size_ratio: float = 0.10
+    #  BERT pair proba ~ skeleton sequence ratio; north_star families:
+    #  token-set Levenshtein + path Jaro-Winkler). Weights sum to 1.
+    w_token_jaccard: float = 0.28
+    w_token_set_lev: float = 0.05
+    w_skeleton_ratio: float = 0.34
+    w_trigram_cosine: float = 0.20
+    w_size_ratio: float = 0.05
+    w_path_jw: float = 0.08
+    # skeleton ratio: the bigram-multiset batch estimate scores every pair;
+    # exact difflib runs ONLY when the blended score falls within this band
+    # of decision_threshold (decision-ambiguous pairs — a small fraction)
+    skel_exact_band: float = 0.12
     prefix_chars: int = 256           # cap for char-level comparisons
 
     # --- Stage 3: decision/clustering ----------------------------------------

@@ -130,6 +130,16 @@ def candidate_pairs(
     deduped across keys with per-pair shared-key count, and capped per
     record at ``max_candidates_per_record`` (reference `max_candidates`=25,
     `index.py:209-211`) via a window top-k (W4).
+
+    The cap is SYMMETRIC: a pair survives if it ranks in the top-k of
+    EITHER endpoint (the reference semantics — each record fetches its own
+    top 25 candidates; the pair set is the union) AND within the opposite
+    endpoint's ``max_fan_in`` ceiling. Capping only the id_a side leaves
+    the lexicographically-largest records of a big block with unbounded
+    Stage-2 fan-in; the union rank alone still lets a popular min-id
+    record accumulate O(cluster) nominations — the fan-in ceiling bounds
+    EVERY record's pair count at k + max_fan_in while chains of mutual
+    nominations keep large clusters connected for Stage 3.
     """
     left = posting.select(F.col("key"), F.col("record_id").alias("id_a"))
     right = posting.select(F.col("key"), F.col("record_id").alias("id_b"))
@@ -144,13 +154,28 @@ def candidate_pairs(
     # the blocking-precision knob that bounds Stage-2 cost at scale.
     if config.min_shared_keys > 1:
         pairs = pairs.filter(F.col("n_shared_keys") >= config.min_shared_keys)
-    # per-record candidate cap: strongest-evidence-first, deterministic
-    # tie-break on id_b (SURVEY.md §7.4.1 tie-break fidelity)
-    w = Window.partitionBy("id_a").orderBy(
+    # per-record candidate cap on BOTH orientations: strongest-evidence-
+    # first, deterministic tie-break on the partner id (SURVEY.md §7.4.1).
+    # The tie-break directions OPPOSE each other (id_a nominates its
+    # smallest-id partners, id_b its largest): if both sides preferred low
+    # ids, every record in an equal-evidence block would nominate the same
+    # few min-id records — they saturate their fan-in ceiling and the
+    # block falls apart; opposing directions form nearest-neighbor chains
+    # that keep even a fan-in-capped giant block connected.
+    wa = Window.partitionBy("id_a").orderBy(
         F.col("n_shared_keys").desc(), F.col("id_b").asc()
     )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("n_shared_keys").desc(), F.col("id_a").desc()
+    )
+    k = config.max_candidates_per_record
+    kf = config.max_fan_in
     return (
-        pairs.withColumn("cand_rank", F.row_number().over(w))
-        .filter(F.col("cand_rank") <= config.max_candidates_per_record)
-        .drop("cand_rank")
+        pairs.withColumn("rank_a", F.row_number().over(wa))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter(
+            ((F.col("rank_a") <= k) & (F.col("rank_b") <= kf))
+            | ((F.col("rank_b") <= k) & (F.col("rank_a") <= kf))
+        )
+        .drop("rank_a", "rank_b")
     )

@@ -43,9 +43,11 @@ SCORE_SCHEMA = StructType(
         StructField("n_shared_keys", IntegerType()),
         StructField("token_jaccard", DoubleType()),
         StructField("token_containment", DoubleType()),
+        StructField("token_set_lev", DoubleType()),
         StructField("skeleton_ratio", DoubleType()),
         StructField("trigram_cosine", DoubleType()),
         StructField("size_ratio", DoubleType()),
+        StructField("path_jw", DoubleType()),
         StructField("exact_match", IntegerType()),
         StructField("score", DoubleType()),
     ]
@@ -56,47 +58,76 @@ _FEATURE_COLS = [
     "skeleton_seq",
     "trigram_vec",
     "n_tokens",
+    "path",
     "sha256",
     "norm_sha",
 ]
 
+_TRIGRAM_DIM = 64
+
 
 def _score_batch(pdf: pd.DataFrame, config: PipelineConfig) -> pd.DataFrame:
+    """Whole-batch scoring: every similarity family is a vectorized numpy
+    kernel over the Arrow batch. The single remaining per-row Python —
+    difflib over skeleton sequences — runs ONLY for pairs whose blended
+    score (with the bigram-multiset estimate) lands within
+    ``skel_exact_band`` of the decision threshold, so the expensive exact
+    kernel touches just the decision-ambiguous fraction."""
     n = len(pdf)
-    tj = np.zeros(n)
-    tc = np.zeros(n)
-    sr = np.zeros(n)
-    cs = np.zeros(n)
-    szr = np.zeros(n)
-    exact = np.zeros(n, dtype=np.int32)
 
     ts_a = pdf["token_set_a"].to_numpy()
     ts_b = pdf["token_set_b"].to_numpy()
     sk_a = pdf["skeleton_seq_a"].to_numpy()
     sk_b = pdf["skeleton_seq_b"].to_numpy()
-    tv_a = pdf["trigram_vec_a"].to_numpy()
-    tv_b = pdf["trigram_vec_b"].to_numpy()
-    nt_a = pdf["n_tokens_a"].to_numpy()
-    nt_b = pdf["n_tokens_b"].to_numpy()
-    sha_eq = (pdf["sha256_a"] == pdf["sha256_b"]) | (pdf["norm_sha_a"] == pdf["norm_sha_b"])
 
-    for i in range(n):
-        a = np.asarray(ts_a[i], dtype=np.int64)
-        b = np.asarray(ts_b[i], dtype=np.int64)
-        tj[i] = sim.jaccard_sorted(a, b)
-        tc[i] = sim.containment_sorted(a, b)
-        sr[i] = sim.seq_ratio(sk_a[i], sk_b[i])
-        cs[i] = sim.cosine(np.asarray(tv_a[i]), np.asarray(tv_b[i]))
-        szr[i] = sim.size_ratio(int(nt_a[i]), int(nt_b[i]))
-    exact[sha_eq.to_numpy()] = 1
+    inter, la, lb = sim.batch_set_intersections(ts_a, ts_b, n)
+    union = la + lb - inter
+    both_empty = (la == 0) & (lb == 0)
+    tj = np.where(both_empty, 1.0, inter / np.maximum(union, 1))
+    mn = np.minimum(la, lb)
+    tc = np.where(mn > 0, inter / np.maximum(mn, 1), 0.0)
+    # indel/difflib similarity of the two sorted unique token sequences is
+    # EXACTLY 2I/(la+lb): LCS of sorted unique sequences = intersection
+    tslev = np.where(both_empty, 1.0, 2.0 * inter / np.maximum(la + lb, 1))
 
-    token_ev = np.maximum(tj, 0.7 * tc + 0.3 * tj)
-    score = (
-        config.w_token_jaccard * token_ev
-        + config.w_skeleton_ratio * sr
-        + config.w_trigram_cosine * cs
-        + config.w_size_ratio * szr
+    sr, ska_len, skb_len = sim.batch_seq_ratio_estimate(sk_a, sk_b, n)
+    cs = sim.batch_cosine(
+        pdf["trigram_vec_a"].to_numpy(), pdf["trigram_vec_b"].to_numpy(), n, _TRIGRAM_DIM
     )
+    jw = sim.batch_jaro_winkler(pdf["path_a"].to_numpy(), pdf["path_b"].to_numpy())
+
+    nt_a = pdf["n_tokens_a"].to_numpy().astype(np.float64)
+    nt_b = pdf["n_tokens_b"].to_numpy().astype(np.float64)
+    hi = np.maximum(nt_a, nt_b)
+    szr = np.where(hi > 0, np.minimum(nt_a, nt_b) / np.maximum(hi, 1), 1.0)
+
+    sha_eq = (
+        (pdf["sha256_a"] == pdf["sha256_b"]) | (pdf["norm_sha_a"] == pdf["norm_sha_b"])
+    ).to_numpy()
+    exact = sha_eq.astype(np.int32)
+
+    def blend(skel):
+        token_ev = np.maximum(tj, 0.7 * tc + 0.3 * tj)
+        return (
+            config.w_token_jaccard * token_ev
+            + config.w_token_set_lev * tslev
+            + config.w_skeleton_ratio * skel
+            + config.w_trigram_cosine * cs
+            + config.w_size_ratio * szr
+            + config.w_path_jw * jw
+        )
+
+    score = blend(sr)
+    # exact difflib pass for the decision-ambiguous band only
+    need = (
+        (np.abs(score - config.decision_threshold) < config.skel_exact_band)
+        & ~sha_eq
+        & (config.w_skeleton_ratio > 0)
+    )
+    for i in np.flatnonzero(need):
+        sr[i] = sim.seq_ratio(sk_a[i], sk_b[i])
+    if need.any():
+        score = blend(sr)
     score = np.where(exact == 1, 1.0, score)
 
     return pd.DataFrame(
@@ -106,9 +137,11 @@ def _score_batch(pdf: pd.DataFrame, config: PipelineConfig) -> pd.DataFrame:
             "n_shared_keys": pdf["n_shared_keys"].astype("int32"),
             "token_jaccard": tj,
             "token_containment": tc,
+            "token_set_lev": tslev,
             "skeleton_ratio": sr,
             "trigram_cosine": cs,
             "size_ratio": szr,
+            "path_jw": jw,
             "exact_match": exact,
             "score": score,
         }

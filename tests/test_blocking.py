@@ -52,14 +52,49 @@ def test_hot_key_cutoff(feats):
 
 
 def test_candidate_pairs_oriented_and_capped(feats):
-    cfg = PipelineConfig(max_candidates_per_record=7)
+    cfg = PipelineConfig(max_candidates_per_record=7, max_fan_in=14)
     keys = blocking.blocking_keys(feats)
     cold, _ = blocking.split_hot_keys(keys, cfg)
     pairs = blocking.candidate_pairs(cold, cfg)
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
     assert pairs.groupBy("id_a", "id_b").count().filter("count > 1").count() == 0
-    max_cands = pairs.groupBy("id_a").count().agg(F.max("count")).first()[0]
-    assert max_cands <= 7
+    # symmetric cap: per-record appearances over BOTH orientations are
+    # bounded by own-nominations (k) + opposite-side fan-in ceiling (kf)
+    both = pairs.select(F.col("id_a").alias("rid")).unionAll(
+        pairs.select(F.col("id_b").alias("rid"))
+    )
+    max_cands = both.groupBy("rid").count().agg(F.max("count")).first()[0]
+    assert max_cands <= 7 + 14
+
+
+def test_low_id_record_fan_in_bounded_in_huge_block(spark):
+    """A popular min-id record inside one giant block (e.g. a vendored
+    file cluster) must not accumulate O(cluster) pairs: every endpoint is
+    nominated by at most max_fan_in partners, yet chained nominations keep
+    the block connected for Stage-3 clustering."""
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators.clustering import connected_components
+
+    n = 200
+    posting = spark.createDataFrame(
+        [("k", f"r{i:04d}") for i in range(n)], ["key", "record_id"]
+    )
+    cfg = PipelineConfig(min_shared_keys=1, max_candidates_per_record=5, max_fan_in=10)
+    pairs = blocking.candidate_pairs(posting, cfg)
+    per_record = (
+        pairs.select(F.col("id_a").alias("rid"))
+        .unionAll(pairs.select(F.col("id_b").alias("rid")))
+        .groupBy("rid")
+        .count()
+    )
+    assert per_record.agg(F.max("count")).first()[0] <= 5 + 10
+    # min-id record specifically: bounded by the fan-in ceiling
+    low = per_record.filter(F.col("rid") == "r0000").first()
+    assert low is not None and low["count"] <= 10
+    # the capped pair graph still connects the whole block
+    records = posting.select(F.col("record_id"))
+    clusters = connected_components(pairs.select("id_a", "id_b"), records, cfg)
+    assert clusters.select("cluster_id").distinct().count() == 1
 
 
 def test_blocking_recall_on_true_pairs(spark, feats, tiny_truth):

@@ -33,6 +33,76 @@ def test_similarity_kernels():
     assert sim.size_ratio(5, 10) == 0.5
 
 
+def test_batch_set_intersections_matches_scalar():
+    rng = np.random.default_rng(11)
+    ts_a, ts_b, expect = [], [], []
+    for _ in range(300):
+        a = np.unique(rng.integers(0, 40, rng.integers(0, 25)))
+        b = np.unique(rng.integers(0, 40, rng.integers(0, 25)))
+        ts_a.append(a if len(a) else None)
+        ts_b.append(b)
+        expect.append(len(np.intersect1d(a, b)))
+    inter, la, lb = sim.batch_set_intersections(ts_a, ts_b, 300)
+    assert [int(x) for x in inter] == expect
+
+
+def test_batch_seq_ratio_estimate_boundaries():
+    est, _, _ = sim.batch_seq_ratio_estimate(
+        [[1, 2, 3, 4], [1, 2, 3], [], [7], None],
+        [[1, 2, 3, 4], [8, 9, 10], [], [7], [1]],
+        5,
+    )
+    assert est[0] == 1.0  # identical
+    assert est[1] == 0.0  # disjoint
+    assert est[2] == 1.0  # both empty
+    assert est[3] == 1.0  # equal singletons
+    assert est[4] == 0.0  # one empty
+
+
+def test_batch_jaro_winkler_exact_known_values():
+    got = sim.batch_jaro_winkler(
+        ["martha", "dixon", "", "", "same/path.py"],
+        ["marhta", "dicksonx", "", "x", "same/path.py"],
+    )
+    assert got[0] == pytest.approx(0.9611, abs=1e-4)
+    assert got[1] == pytest.approx(0.8133, abs=1e-4)
+    assert got[2] == 1.0  # both empty
+    assert got[3] == 0.0  # one empty
+    assert got[4] == 1.0  # identical
+
+
+def test_gated_difflib_is_decision_flip_free(scored):
+    """The bigram estimate + ambiguity-band gating must reach the same
+    accept/reject decisions as running difflib on EVERY pair."""
+    feats, pairs, sc = scored
+    from sbb_ned_spark.operators.scoring import _paired_features
+
+    cfg = PipelineConfig()
+    pdf = _paired_features(pairs, feats).toPandas()
+    out = sc.toPandas().set_index(["id_a", "id_b"])
+    sr_exact = np.array(
+        [sim.seq_ratio(a, b) for a, b in zip(pdf["skeleton_seq_a"], pdf["skeleton_seq_b"])]
+    )
+    keyed = out.loc[list(zip(pdf["id_a"], pdf["id_b"]))]
+    token_ev = np.maximum(
+        keyed["token_jaccard"].to_numpy(),
+        0.7 * keyed["token_containment"].to_numpy() + 0.3 * keyed["token_jaccard"].to_numpy(),
+    )
+    score_exact = (
+        cfg.w_token_jaccard * token_ev
+        + cfg.w_token_set_lev * keyed["token_set_lev"].to_numpy()
+        + cfg.w_skeleton_ratio * sr_exact
+        + cfg.w_trigram_cosine * keyed["trigram_cosine"].to_numpy()
+        + cfg.w_size_ratio * keyed["size_ratio"].to_numpy()
+        + cfg.w_path_jw * keyed["path_jw"].to_numpy()
+    )
+    ex = keyed["exact_match"].to_numpy() == 1
+    score_exact = np.where(ex, 1.0, score_exact)
+    dec_engine = (keyed["score"].to_numpy() >= cfg.decision_threshold) | ex
+    dec_exact = (score_exact >= cfg.decision_threshold) | ex
+    assert (dec_engine == dec_exact).all()
+
+
 def test_scores_bounded_and_exact_flagged(scored):
     _, _, sc = scored
     assert sc.filter((F.col("score") < 0) | (F.col("score") > 1.0001)).count() == 0
