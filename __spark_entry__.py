@@ -23,8 +23,19 @@ from pyspark.sql.window import Window
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+_CATALOGS: dict[str, object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # all table access goes through the catalog seam (Iceberg when the
+    # runtime is configured, parquet dirs otherwise); driver testdata is
+    # name.parquet files, which the parquet backend addresses by name
+    from sbb_ned_spark.sources.catalog import get_catalog
+
+    cat = _CATALOGS.get(sf_dir)
+    if cat is None:
+        cat = _CATALOGS[sf_dir] = get_catalog(spark, sf_dir)
+    return cat.read_table(spark, f"{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +310,60 @@ def q_a3_multi_stat(spark, sf):
         F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q_p25"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("q_p90"),
     )
+
+
+def q_a3_decider_matrix(spark, sf):
+    # A3 full decider matrix (`models/decider.py:88-166`): per-"record"
+    # (l_orderkey) stats over its candidate values (l_extendedprice) —
+    # exact 0.1..1.0 quantile grid, mean/std from exact decimal sums,
+    # among-top occupancy vs global percentiles, diff vs overall. Exact
+    # decimal accumulation keeps both engines bit-identical before the
+    # single double division (w3_cumsum pattern).
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    n = F.count("*")
+    s1 = F.sum(x).cast("double")
+    s2 = F.sum(x * x).cast("double")
+    mean = s1 / n
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1)).otherwise(F.lit(0.0))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    qcols = [
+        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"q{int(q * 100)}")
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    ]
+    case = li.groupBy("l_orderkey").agg(
+        n.alias("c_n"),
+        F.round(F.min("l_extendedprice"), 2).alias("c_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("c_max"),
+        F.round(mean, 6).alias("c_mean"),
+        F.round(std, 6).alias("c_std"),
+        *qcols,
+    )
+    overall = li.agg(
+        (F.sum(x).cast("double") / F.count("*")).alias("o_mean"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    among = (
+        li.crossJoin(F.broadcast(overall))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") >= F.col("p50")).cast("int")) / F.count("*"), 6
+            ).alias("among_p50"),
+            F.round(
+                F.sum((F.col("l_extendedprice") >= F.col("p90")).cast("int")) / F.count("*"), 6
+            ).alias("among_p90"),
+            F.round(
+                F.sum((F.col("l_extendedprice") >= F.col("p99")).cast("int")) / F.count("*"), 6
+            ).alias("among_p99"),
+            F.round(
+                F.sum(x).cast("double") / F.count("*") - F.first("o_mean"), 6
+            ).alias("d_mean"),
+        )
+    )
+    return case.join(among, "l_orderkey")
 
 
 def q_a4_cumulative(spark, sf):
@@ -754,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_group_ranking_stats": q_a1_group_ranking_stats,
         "a2_value_counts": q_a2_value_counts,
         "a3_multi_stat": q_a3_multi_stat,
+        "a3_decider_matrix": q_a3_decider_matrix,
         "a4_cumulative": q_a4_cumulative,
         "a5_mean_pool": q_a5_mean_pool,
         "a6_global_totals": q_a6_global_totals,
@@ -906,6 +972,51 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.25), 6) AS q_p25,
                    ROUND(quantile_cont(l_quantity, 0.9), 6) AS q_p90
             FROM lineitem GROUP BY l_returnflag""",
+        "a3_decider_matrix": """
+            WITH case_ AS (
+              SELECT l_orderkey,
+                     COUNT(*) AS c_n,
+                     ROUND(MIN(l_extendedprice), 2) AS c_min,
+                     ROUND(MAX(l_extendedprice), 2) AS c_max,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*), 6) AS c_mean,
+                     ROUND(CASE WHEN COUNT(*) > 1 THEN sqrt(GREATEST(
+                       (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*))
+                       / (COUNT(*) - 1), 0.0)) ELSE 0.0 END, 6) AS c_std,
+                     ROUND(quantile_cont(l_extendedprice, 0.1), 6) AS q10,
+                     ROUND(quantile_cont(l_extendedprice, 0.2), 6) AS q20,
+                     ROUND(quantile_cont(l_extendedprice, 0.3), 6) AS q30,
+                     ROUND(quantile_cont(l_extendedprice, 0.4), 6) AS q40,
+                     ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+                     ROUND(quantile_cont(l_extendedprice, 0.6), 6) AS q60,
+                     ROUND(quantile_cont(l_extendedprice, 0.7), 6) AS q70,
+                     ROUND(quantile_cont(l_extendedprice, 0.8), 6) AS q80,
+                     ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS q90,
+                     ROUND(quantile_cont(l_extendedprice, 1.0), 6) AS q100
+              FROM lineitem GROUP BY l_orderkey),
+            o AS (
+              SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS o_mean,
+                     quantile_cont(l_extendedprice, 0.5) AS p50,
+                     quantile_cont(l_extendedprice, 0.9) AS p90,
+                     quantile_cont(l_extendedprice, 0.99) AS p99
+              FROM lineitem),
+            among AS (
+              SELECT l_orderkey,
+                     ROUND(SUM(CASE WHEN l_extendedprice >= p50 THEN 1 ELSE 0 END)
+                           * 1.0 / COUNT(*), 6) AS among_p50,
+                     ROUND(SUM(CASE WHEN l_extendedprice >= p90 THEN 1 ELSE 0 END)
+                           * 1.0 / COUNT(*), 6) AS among_p90,
+                     ROUND(SUM(CASE WHEN l_extendedprice >= p99 THEN 1 ELSE 0 END)
+                           * 1.0 / COUNT(*), 6) AS among_p99,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) - ANY_VALUE(o_mean), 6) AS d_mean
+              FROM lineitem CROSS JOIN o GROUP BY l_orderkey)
+            SELECT * FROM case_ JOIN among USING (l_orderkey)""",
         "a4_cumulative": """
             SELECT o_custkey, o_orderkey,
                    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -69,7 +69,11 @@ class PipelineConfig:
     broadcast_threshold_rows: int = 1_000_000  # dims below this get F.broadcast
 
     # --- checkpointing / lineage ----------------------------------------------
-    checkpoint_dir: str | None = None  # stage-output parquet checkpoints (resume)
+    checkpoint_dir: str | None = None  # stage-output table checkpoints (resume)
+    # when > 0, the checkpointed features table is partitioned by
+    # pmod(xxhash64(repo), N) — a bounded-cardinality repo bucket, the
+    # Iceberg PARTITIONED BY spec the input_hint's table would carry
+    features_partition_buckets: int = 0
     extra_spark_conf: dict = field(default_factory=dict)
 
 

@@ -263,13 +263,44 @@ def generate_labeled_pairs_pdf(
     return out.drop_duplicates(subset=["id_a", "id_b"], keep="first").reset_index(drop=True)
 
 
+_FIXTURE_CACHE_DIR = "/tmp/sbb_ned_fixture_cache"
+
+
+def fixture_parquet_path(scale: str, seed: int = 42) -> str:
+    return f"{_FIXTURE_CACHE_DIR}/files_{scale}_s{seed}.parquet"
+
+
+def ensure_files_parquet(scale: str = "tiny", seed: int = 42) -> str:
+    """Materialize the generated corpus to parquet ONCE (atomic rename so
+    concurrent bench subprocesses can't see a half-written file) and return
+    the path. Shipping the corpus through spark.createDataFrame would
+    serialize it into every task closure ('task of very large size'
+    warnings) — reading it back as a parquet scan is both the realistic
+    input shape and the scalable one."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = fixture_parquet_path(scale, seed)
+    if not os.path.exists(path):
+        pdf, _ = generate_files_pdf(scale, seed)
+        os.makedirs(_FIXTURE_CACHE_DIR, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=_FIXTURE_CACHE_DIR, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def load_files_df(spark, scale: str = "tiny", seed: int = 42):
-    """files as a Spark DataFrame with the derived per-row invariant columns
+    """files as a Spark DataFrame (parquet-backed, see
+    :func:`ensure_files_parquet`) with the derived per-row invariant columns
     (record_id, sha256 — input_hint; hashing precedent `webapp/app.py:289-291`)."""
     from pyspark.sql import functions as F
 
-    pdf, _ = generate_files_pdf(scale, seed)
-    df = spark.createDataFrame(pdf)
+    df = spark.read.parquet(ensure_files_parquet(scale, seed))
     return df.withColumn(
         "record_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
     ).withColumn("sha256", F.sha2(F.col("content"), 256))

@@ -15,13 +15,16 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+import uuid
+from dataclasses import asdict, dataclass, field
+from hashlib import sha256
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
 from sbb_ned_spark.operators import blocking, clustering, scoring
+from sbb_ned_spark.sources.catalog import TableCatalog, get_catalog, manifest_digest
 
 STAGES = ("features", "blocking_keys", "candidate_pairs", "pair_scores", "clusters")
 
@@ -31,35 +34,42 @@ class PipelineResult:
     clusters: DataFrame
     scores: DataFrame
     metrics: list[dict] = field(default_factory=list)
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist_all(self) -> None:
+        """Release every stage frame this run persisted (checkpoint-less
+        runs cache each stage; repeated runs in one session — bench loops,
+        scaling harnesses — would otherwise accumulate storage memory)."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
-def _ckpt_path(root: str, stage: str) -> str:
-    return os.path.join(root, stage)
+def _config_hash(config: PipelineConfig) -> str:
+    """Hash of every semantics-bearing config field: a resume against a
+    checkpoint written under different blocking/scoring/decision settings
+    must recompute, not silently mix stale stages."""
+    d = asdict(config)
+    d.pop("checkpoint_dir", None)  # where the ckpt lives doesn't change WHAT it is
+    return sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()
 
 
-def _is_complete(root: str | None, stage: str) -> bool:
-    if not root:
-        return False
-    return os.path.exists(os.path.join(_ckpt_path(root, stage), "_MANIFEST.json"))
-
-
-def _write_stage(df: DataFrame, root: str | None, stage: str, meta: dict) -> DataFrame:
-    """Checkpoint a stage to parquet + manifest; return the re-read frame
-    (truncates lineage, makes downstream stages resume-identical)."""
-    if not root:
-        # no durable checkpoint requested: cache so the stage-boundary
-        # count() and downstream stages don't recompute the Arrow UDF lineage
-        return df.persist()
-    path = _ckpt_path(root, stage)
-    df.write.mode("overwrite").parquet(path)
-    manifest = {"stage": stage, **meta}
-    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
-    return df.sparkSession.read.parquet(path)
-
-
-def _read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
-    return spark.read.parquet(_ckpt_path(root, stage))
+def _valid_manifest(
+    catalog: TableCatalog | None, stage: str, cfg_hash: str, upstream: dict | None
+) -> dict | None:
+    """The stage's stored manifest iff it matches the current config AND
+    chains to the upstream stage's manifest digest (a later-stage manifest
+    over a missing/changed earlier stage is stale, not resumable)."""
+    if catalog is None:
+        return None
+    m = catalog.read_manifest(stage)
+    if not m:
+        return None
+    if m.get("config_hash") != cfg_hash:
+        return None
+    if m.get("upstream_digest") != manifest_digest(upstream):
+        return None
+    return m
 
 
 def _partition_lineage(df: DataFrame, stage: str) -> DataFrame:
@@ -85,16 +95,49 @@ def run_pipeline(
     """``light=True`` skips the per-stage count() barriers (rows_out=None):
     stages persist lazily and materialize on first downstream use, removing
     four serial passes — the benchmark mode. Durable checkpoints imply the
-    counts anyway (the parquet write is a full pass)."""
+    counts anyway (the parquet write is a full pass).
+
+    Checkpointing goes through the table-catalog seam
+    (:mod:`sbb_ned_spark.sources.catalog`): each stage is a named table
+    (Iceberg when the runtime is configured, parquet dirs otherwise) whose
+    manifest records the config hash and the upstream stage's manifest
+    digest — resume only reuses a stage whose whole upstream CHAIN is
+    intact and was built under the same config."""
     spark = files.sparkSession
     root = config.checkpoint_dir
+    catalog = get_catalog(spark, root) if root else None
+    cfg_hash = _config_hash(config)
     metrics: list[dict] = []
     lineage_frames: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    upstream: dict | None = None  # manifest of the previous stage
 
-    def timed(stage: str, fn, rows_in: int | None = None):
+    def finish_stage(stage: str, df: DataFrame, partition_by: tuple = ()) -> DataFrame:
+        nonlocal upstream
+        manifest = {
+            "stage": stage,
+            "config_hash": cfg_hash,
+            "upstream_digest": manifest_digest(upstream),
+            # fresh nonce per RECOMPUTE: any stage rebuilt this run (its
+            # inputs may have drifted) conservatively invalidates every
+            # downstream manifest chained to the old build
+            "run_nonce": uuid.uuid4().hex,
+        }
+        if catalog is None:
+            # no durable checkpoint requested: cache so the stage-boundary
+            # count() and downstream stages don't recompute the UDF lineage
+            df = df.persist()
+            persisted.append(df)
+        else:
+            catalog.write_table(df, stage, partition_by=partition_by)
+            catalog.write_manifest(stage, manifest)
+            df = catalog.read_table(spark, stage)
+        upstream = manifest
+        return df
+
+    def timed(stage: str, fn, rows_in: int | None = None, partition_by: tuple = ()):
         t0 = time.monotonic()
-        df = fn()
-        df = _write_stage(df, root, stage, {"config_threshold": config.decision_threshold})
+        df = finish_stage(stage, fn(), partition_by)
         n = None
         if not light or root:
             n = df.count()
@@ -110,16 +153,32 @@ def run_pipeline(
             lineage_frames.append(_partition_lineage(df, stage))
         return df, n
 
+    def resumable(stage: str) -> dict | None:
+        return _valid_manifest(catalog, stage, cfg_hash, upstream) if resume else None
+
     # ---- Stage 1a: features ------------------------------------------------
-    if resume and _is_complete(root, "features"):
-        feats = _read_stage(spark, root, "features")
+    if (m := resumable("features")) is not None:
+        feats = catalog.read_table(spark, "features")
         n_files = feats.count()
+        upstream = m
     else:
-        feats, n_files = timed("features", lambda: blocking.record_features(files, config))
+        part = ("repo_bucket",) if config.features_partition_buckets else ()
+        def build_features():
+            df = blocking.record_features(files, config)
+            if config.features_partition_buckets:
+                # low-cardinality repo hash bucket: partition pruning stays
+                # useful at 10^12 files without a per-repo partition blowup
+                df = df.withColumn(
+                    "repo_bucket",
+                    F.pmod(F.xxhash64("repo"), F.lit(config.features_partition_buckets)),
+                )
+            return df
+        feats, n_files = timed("features", build_features, partition_by=part)
 
     # ---- Stage 1b: blocking keys (with hot-key cutoff) ----------------------
-    if resume and _is_complete(root, "blocking_keys"):
-        cold = _read_stage(spark, root, "blocking_keys")
+    if (m := resumable("blocking_keys")) is not None:
+        cold = catalog.read_table(spark, "blocking_keys")
+        upstream = m
     else:
         keys = blocking.blocking_keys(feats, config)
         cold_raw, hot = blocking.split_hot_keys(keys, config)
@@ -128,16 +187,18 @@ def run_pipeline(
         metrics[-1]["hot_keys_dropped"] = hot_n
 
     # ---- Stage 1c: candidate pairs -------------------------------------------
-    if resume and _is_complete(root, "candidate_pairs"):
-        pairs = _read_stage(spark, root, "candidate_pairs")
+    if (m := resumable("candidate_pairs")) is not None:
+        pairs = catalog.read_table(spark, "candidate_pairs")
+        upstream = m
     else:
         pairs, _ = timed(
             "candidate_pairs", lambda: blocking.candidate_pairs(cold, config), rows_in=n_files
         )
 
     # ---- Stage 2: pairwise scoring -------------------------------------------
-    if resume and _is_complete(root, "pair_scores"):
-        scores = _read_stage(spark, root, "pair_scores")
+    if (m := resumable("pair_scores")) is not None:
+        scores = catalog.read_table(spark, "pair_scores")
+        upstream = m
     else:
         scores, _ = timed(
             "pair_scores",
@@ -146,8 +207,9 @@ def run_pipeline(
         )
 
     # ---- Stage 3: decision + connected components -----------------------------
-    if resume and _is_complete(root, "clusters"):
-        clusters = _read_stage(spark, root, "clusters")
+    if (m := resumable("clusters")) is not None:
+        clusters = catalog.read_table(spark, "clusters")
+        upstream = m
     else:
         def build_clusters():
             edges = clustering.accepted_edges(scores, config)
@@ -164,7 +226,9 @@ def run_pipeline(
                 lineage = lineage.unionByName(lf)
             lineage.write.mode("overwrite").parquet(os.path.join(root, "lineage"))
 
-    return PipelineResult(clusters=clusters, scores=scores, metrics=metrics)
+    return PipelineResult(
+        clusters=clusters, scores=scores, metrics=metrics, persisted=persisted
+    )
 
 
 # ---------------------------------------------------------------------------

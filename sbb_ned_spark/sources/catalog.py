@@ -1,0 +1,179 @@
+"""Table-catalog seam: the Iceberg table-name API with a parquet fallback.
+
+The north_star/input_hint name an *Iceberg table* of source-code
+repositories. This module is the promised seam (SURVEY.md §7.4.5): every
+pipeline read/write goes through ``read_table``/``write_table`` keyed by
+TABLE NAME, so swapping storage is a catalog choice, not a code change:
+
+- :class:`IcebergCatalog` — used when an ``iceberg-spark-runtime`` jar is
+  on the session classpath and a Spark SQL catalog is configured
+  (``spark.sql.catalog.<name>`` = SparkCatalog/HadoopCatalog). Writes via
+  the DataFrameWriterV2 ``writeTo(...).using("iceberg")`` API, reads via
+  ``spark.table``. Partitioned tables get their PARTITIONED BY spec from
+  the same ``partition_by`` argument.
+- :class:`ParquetCatalog` — the sandbox/default backend: ``<root>/<name>``
+  parquet directories behind the same API, with ``partitionBy`` writes.
+
+The reference's analog of this seam is its sqlite DDL + secondary-index
+setup (`/root/reference/qurator/sbb_ned/cli.py:674-681`): a named,
+indexed table the rest of the code addresses by name only.
+
+Scale note: ``partition_by`` should carry a low-cardinality derived
+column (e.g. a repo hash bucket) — at 10^12 files a per-repo partition
+would blow the metastore; a fixed bucket count keeps partition pruning
+useful and file counts bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from hashlib import sha256
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog(Protocol):
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame: ...
+
+    def write_table(
+        self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: tuple = ()
+    ) -> None: ...
+
+    def table_exists(self, spark: SparkSession, name: str) -> bool: ...
+
+    def drop_table(self, spark: SparkSession, name: str) -> None: ...
+
+    def write_manifest(self, name: str, manifest: dict) -> None: ...
+
+    def read_manifest(self, name: str) -> dict | None: ...
+
+
+def manifest_digest(manifest: dict | None) -> str:
+    """Stable digest of a stage manifest — chained into the downstream
+    stage's manifest so resume can prove the upstream it was built from."""
+    if manifest is None:
+        return "none"
+    return sha256(json.dumps(manifest, sort_keys=True).encode()).hexdigest()
+
+
+@dataclass
+class ParquetCatalog:
+    """Name-addressed parquet directories under ``root``."""
+
+    root: str
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._path(name))
+
+    def write_table(
+        self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: tuple = ()
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
+
+    def table_exists(self, spark: SparkSession, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS")) or os.path.exists(
+            os.path.join(self._path(name), "_MANIFEST.json")
+        )
+
+    def drop_table(self, spark: SparkSession, name: str) -> None:
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def write_manifest(self, name: str, manifest: dict) -> None:
+        os.makedirs(self._path(name), exist_ok=True)
+        with open(os.path.join(self._path(name), "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def read_manifest(self, name: str) -> dict | None:
+        p = os.path.join(self._path(name), "_MANIFEST.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+@dataclass
+class IcebergCatalog:
+    """Iceberg tables addressed as ``<catalog>.<namespace>.<name>``.
+
+    Requires ``iceberg-spark-runtime`` on the classpath and
+    ``spark.sql.catalog.<catalog>`` configured (e.g. a HadoopCatalog with a
+    local warehouse dir). Manifests are JSON files under ``manifest_dir``
+    (resume metadata is ours, not table data)."""
+
+    catalog: str = "local"
+    namespace: str = "er"
+    manifest_dir: str = "/tmp/sbb_ned_iceberg_manifests"
+
+    def _fqn(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.table(self._fqn(name))
+
+    def write_table(
+        self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: tuple = ()
+    ) -> None:
+        df.sparkSession.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+        writer = df.writeTo(self._fqn(name)).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+
+    def table_exists(self, spark: SparkSession, name: str) -> bool:
+        return spark.catalog.tableExists(self._fqn(name))
+
+    def drop_table(self, spark: SparkSession, name: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {self._fqn(name)}")
+
+    def write_manifest(self, name: str, manifest: dict) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        with open(os.path.join(self.manifest_dir, f"{name}.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def read_manifest(self, name: str) -> dict | None:
+        p = os.path.join(self.manifest_dir, f"{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
+    """True when a Spark SQL catalog named ``catalog`` is configured AND
+    the Iceberg classes resolve (jar actually on the classpath)."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+    except Exception:
+        return False
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(impl)  # noqa: SLF001 - classpath probe
+        return True
+    except Exception:
+        return False
+
+
+def get_catalog(spark: SparkSession, root: str) -> TableCatalog:
+    """The seam: Iceberg when the runtime is present, parquet dirs
+    otherwise — callers only ever see read_table/write_table by name."""
+    if iceberg_available(spark):
+        return IcebergCatalog()
+    return ParquetCatalog(root)

@@ -51,6 +51,76 @@ def test_resume_from_checkpoint(spark, tiny_files, tiny_truth, tmp_path):
     assert len(manifests) == len(P.STAGES)
 
 
+def test_resume_invalidated_by_config_change(spark, tiny_files, tmp_path):
+    """A checkpoint written under different decision settings must NOT be
+    reused: the manifest stores a config hash the resume validates."""
+    root = str(tmp_path / "ckpt")
+    P.run_pipeline(tiny_files, PipelineConfig(checkpoint_dir=root))
+    # resume with a changed threshold: every stage recomputes (metrics has
+    # a row per stage; a fully-resumed run has none)
+    res = P.run_pipeline(
+        tiny_files, PipelineConfig(checkpoint_dir=root, decision_threshold=0.7), resume=True
+    )
+    assert [m["stage"] for m in res.metrics] == list(P.STAGES)
+
+
+def test_resume_invalidated_by_broken_chain(spark, tiny_files, tmp_path):
+    """A later-stage manifest over a missing earlier stage is stale: the
+    upstream-digest chain forces recomputation from the gap onward."""
+    import shutil
+
+    root = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(checkpoint_dir=root)
+    P.run_pipeline(tiny_files, cfg)
+    shutil.rmtree(os.path.join(root, "candidate_pairs"))
+    res = P.run_pipeline(tiny_files, cfg, resume=True)
+    stages = [m["stage"] for m in res.metrics]
+    # features/blocking_keys resumed; candidate_pairs and everything after
+    # it (its manifest chain broke) recomputed
+    assert stages == ["candidate_pairs", "pair_scores", "clusters"]
+
+
+def test_unpersist_all_releases_cached_stages(spark, tiny_files):
+    from pyspark import StorageLevel
+
+    res = P.run_pipeline(tiny_files, PipelineConfig())
+    assert res.persisted, "checkpoint-less runs cache each stage"
+    frames = list(res.persisted)
+    res.unpersist_all()
+    for df in frames:
+        assert df.storageLevel == StorageLevel.NONE
+
+
+def test_features_table_partitioned_by_repo_bucket(spark, tiny_files, tmp_path):
+    """The catalog seam writes the features table PARTITIONED BY a bounded
+    repo hash bucket (the input_hint table's partition spec)."""
+    root = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(checkpoint_dir=root, features_partition_buckets=8)
+    P.run_pipeline(tiny_files, cfg)
+    parts = glob.glob(os.path.join(root, "features", "repo_bucket=*"))
+    assert len(parts) > 1
+    # partition pruning: reading one bucket scans only that directory
+    one = spark.read.parquet(os.path.join(root, "features")).filter("repo_bucket = 0")
+    assert one.count() < spark.read.parquet(os.path.join(root, "features")).count()
+
+
+def test_parquet_catalog_roundtrip(spark, tmp_path):
+    from sbb_ned_spark.sources.catalog import ParquetCatalog, get_catalog, iceberg_available
+
+    cat = ParquetCatalog(str(tmp_path))
+    df = spark.range(10).withColumn("b", F.pmod("id", F.lit(2)))
+    cat.write_table(df, "t1", partition_by=("b",))
+    assert cat.table_exists(spark, "t1")
+    assert cat.read_table(spark, "t1").count() == 10
+    cat.write_manifest("t1", {"stage": "t1", "config_hash": "x"})
+    assert cat.read_manifest("t1")["config_hash"] == "x"
+    cat.drop_table(spark, "t1")
+    assert not cat.table_exists(spark, "t1")
+    # no iceberg runtime in this sandbox: the seam must fall back cleanly
+    assert not iceberg_available(spark)
+    assert isinstance(get_catalog(spark, str(tmp_path)), ParquetCatalog)
+
+
 def test_sha_invariant_through_stages(spark, tiny_files):
     """input_hint: content sha256 equality per row through every stage."""
     from sbb_ned_spark.operators import blocking
