@@ -199,51 +199,88 @@ def score_pairs(
 # Decider-style per-candidate statistics (A3/A4, `models/decider.py:88-166`)
 # ---------------------------------------------------------------------------
 
-_STAT_COL = "score"
+_STAT_COLS = (
+    "score",
+    "token_jaccard",
+    "token_containment",
+    "token_set_lev",
+    "skeleton_ratio",
+    "trigram_cosine",
+    "path_jw",
+)
+QUANTILE_GRID = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+AMONG_TOP_FRACTIONS = (0.5, 0.75, 0.9, 0.95, 0.99)
 
 
-def candidate_stats(scores: DataFrame) -> DataFrame:
+def candidate_stats(
+    scores: DataFrame,
+    stat_cols: tuple = _STAT_COLS,
+    quantiles: tuple = QUANTILE_GRID,
+    among_fractions: tuple = AMONG_TOP_FRACTIONS,
+) -> DataFrame:
     """Per-record aggregate features over its candidate scores, in the
-    decider's shape: case_* (this record), overall_* (all records,
-    broadcast-joined back), diff_* (case - overall), plus among-top
-    occupancy via a window cumulative sum (A4, `decider.py:115-121`).
+    decider's FULL shape (`models/decider.py:88-166`): for every score
+    component, case_* stats + the 0.1..1.0 quantile grid (this record),
+    overall_* (all records, broadcast back), diff_* (case - overall); plus
+    among-top occupancy against a grid of global score percentiles (the
+    reference's rank-interval features, `decider.py:115-121`).
 
-    Entirely native aggregation — whole-stage codegen, no Python.
+    Entirely native aggregation — whole-stage codegen, no Python. The
+    global references are ONE-ROW aggregates broadcast back (J3 pattern),
+    never a global ORDER BY window: a single-partition sort would not
+    survive a 100x scale-up.
+
+    The primary component (``score``) keeps unsuffixed legacy names;
+    other components are suffixed ``_<col>``.
     """
-    case = scores.groupBy("id_a").agg(
-        F.min(_STAT_COL).alias("case_min"),
-        F.max(_STAT_COL).alias("case_max"),
-        F.avg(_STAT_COL).alias("case_mean"),
-        F.coalesce(F.stddev(_STAT_COL), F.lit(0.0)).alias("case_std"),
-        F.expr(f"percentile_approx({_STAT_COL}, 0.5)").alias("case_median"),
-        F.expr(f"percentile_approx({_STAT_COL}, array(0.1,0.25,0.75,0.9))").alias(
-            "case_quantiles"
-        ),
-        F.count("*").alias("case_n"),
-    )
-    overall = scores.agg(
-        F.min(_STAT_COL).alias("overall_min"),
-        F.max(_STAT_COL).alias("overall_max"),
-        F.avg(_STAT_COL).alias("overall_mean"),
-        F.coalesce(F.stddev(_STAT_COL), F.lit(0.0)).alias("overall_std"),
-    )
+    grid_sql = ",".join(str(q) for q in quantiles)
+    aggs, overall_aggs = [], []
+    for c in stat_cols:
+        sfx = "" if c == "score" else f"_{c}"
+        aggs += [
+            F.min(c).alias(f"case_min{sfx}"),
+            F.max(c).alias(f"case_max{sfx}"),
+            F.avg(c).alias(f"case_mean{sfx}"),
+            F.coalesce(F.stddev(c), F.lit(0.0)).alias(f"case_std{sfx}"),
+            F.expr(f"percentile_approx({c}, 0.5)").alias(f"case_median{sfx}"),
+            F.expr(f"percentile_approx({c}, array({grid_sql}))").alias(
+                f"case_quantiles{sfx}"
+            ),
+        ]
+        overall_aggs += [
+            F.min(c).alias(f"overall_min{sfx}"),
+            F.max(c).alias(f"overall_max{sfx}"),
+            F.avg(c).alias(f"overall_mean{sfx}"),
+            F.coalesce(F.stddev(c), F.lit(0.0)).alias(f"overall_std{sfx}"),
+        ]
+    aggs.append(F.count("*").alias("case_n"))
+    case = scores.groupBy("id_a").agg(*aggs)
+    overall = scores.agg(*overall_aggs)
     # global one-row aggregate joined back — broadcast nested loop of a
     # single row (J3 pattern: ranking ⋈ tiny dim, `index.py:73`)
     out = case.crossJoin(F.broadcast(overall))
-    for s in ("min", "max", "mean", "std"):
-        out = out.withColumn(f"diff_{s}", F.col(f"case_{s}") - F.col(f"overall_{s}"))
+    for c in stat_cols:
+        sfx = "" if c == "score" else f"_{c}"
+        for s in ("min", "max", "mean", "std"):
+            out = out.withColumn(
+                f"diff_{s}{sfx}", F.col(f"case_{s}{sfx}") - F.col(f"overall_{s}{sfx}")
+            )
 
-    # among-top occupancy: fraction of this record's pairs above the global
-    # 90th percentile (A4 analog, `decider.py:115-121`). Deliberately NOT a
-    # global ORDER BY window — a single-partition sort would not survive a
-    # 100x scale-up; a one-row approx-percentile aggregate broadcast back
-    # gives the same feature with only a map-side comparison.
-    p90 = scores.agg(
-        F.expr(f"percentile_approx({_STAT_COL}, 0.9)").alias("p90")
+    # among-top occupancy grid: fraction of this record's pairs at or above
+    # each global score percentile — map-side comparisons against one
+    # broadcast row of thresholds
+    fr_sql = ",".join(str(f) for f in among_fractions)
+    thr = scores.agg(
+        F.expr(f"percentile_approx(score, array({fr_sql}))").alias("thr")
     )
-    among = (
-        scores.crossJoin(F.broadcast(p90))
-        .groupBy("id_a")
-        .agg(F.avg((F.col(_STAT_COL) >= F.col("p90")).cast("double")).alias("among_top10"))
+    among_aggs = [
+        F.avg((F.col("score") >= F.element_at("thr", i + 1)).cast("double")).alias(
+            f"among_top{round((1 - f) * 100)}"
+        )
+        for i, f in enumerate(among_fractions)
+    ]
+    among = scores.crossJoin(F.broadcast(thr)).groupBy("id_a").agg(*among_aggs)
+    out = out.join(among, "id_a", "left")
+    return out.fillna(
+        {f"among_top{round((1 - f) * 100)}": 0.0 for f in among_fractions}
     )
-    return out.join(among, "id_a", "left").fillna({"among_top10": 0.0})

@@ -63,9 +63,14 @@ def test_multimodal_plumbing(spark):
         assert 64 <= r["fake_width"] < 64 + 1024
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_real_decode_for_png_and_wav():
+    # round 2: PNG/WAV header decode is REAL (struct parsers); only full
+    # container decode (video) remains the declared stub
+    assert mm.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                          + (64).to_bytes(4, "big") + (48).to_bytes(4, "big"),
+                          "image") == (64, 48, None)
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"bytes", "image")
+        mm.decode_blob(b"bytes", "video")
 
 
 def test_streaming_windowed_counts(spark, tmp_path):
