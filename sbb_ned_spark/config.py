@@ -39,6 +39,13 @@ class PipelineConfig:
     # pairs), and removes the one single-key false positive k=1 admitted.
     min_shared_keys: int = 2
     min_token_len: int = 2
+    # collapse exact content duplicates (same sha256) to one representative
+    # BEFORE feature extraction: at 10^12 files the dominant duplicate mass
+    # is byte-identical (vendored files, forks); representatives shrink
+    # every downstream stage and the expansion join restores members with
+    # their representative's cluster. Labels are unchanged: the min record
+    # id of a cluster is always itself a representative.
+    collapse_exact_dups: bool = True
 
     # --- Stage 2: scoring ---------------------------------------------------
     # combined score = weighted blend of similarity families

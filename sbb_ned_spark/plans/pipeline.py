@@ -26,7 +26,28 @@ from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
 from sbb_ned_spark.operators import blocking, clustering, scoring
 from sbb_ned_spark.sources.catalog import TableCatalog, get_catalog, manifest_digest
 
-STAGES = ("features", "blocking_keys", "candidate_pairs", "pair_scores", "clusters")
+STAGES = (
+    "exact_groups",
+    "features",
+    "blocking_keys",
+    "candidate_pairs",
+    "pair_scores",
+    "clusters",
+)
+
+
+def _with_ids(files: DataFrame) -> DataFrame:
+    """Ensure the per-row invariant columns exist (input_hint: record_id
+    derived from (repo,path,commit), sha256 of content) — cheap JVM-side
+    hashes, no feature extraction."""
+    df = files
+    if "record_id" not in df.columns:
+        df = df.withColumn(
+            "record_id", F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256)
+        )
+    if "sha256" not in df.columns:
+        df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
+    return df
 
 
 @dataclass
@@ -156,6 +177,32 @@ def run_pipeline(
     def resumable(stage: str) -> dict | None:
         return _valid_manifest(catalog, stage, cfg_hash, upstream) if resume else None
 
+    # ---- Stage 0: exact-duplicate collapse -----------------------------------
+    # byte-identical files (vendored copies, forks — the dominant duplicate
+    # mass at 10^12 files) are collapsed to their min-id representative
+    # BEFORE feature extraction; the clusters stage expands members back.
+    # This shrinks every downstream stage and removes the giant exact-dup
+    # blocks from the pair join entirely.
+    membership: DataFrame | None = None
+    if config.collapse_exact_dups:
+        from pyspark.sql.window import Window
+
+        # ONE shuffle, one scan: rep_id = min(record_id) over the sha256
+        # partition (unordered window = whole-partition aggregate, no
+        # sort-by-value). Content crosses this single shuffle once and the
+        # map-side of every later stage starts from unique contents only.
+        tagged = _with_ids(files).withColumn(
+            "rep_id", F.min("record_id").over(Window.partitionBy("sha256"))
+        )
+        if (m := resumable("exact_groups")) is not None:
+            membership = catalog.read_table(spark, "exact_groups")
+            upstream = m
+        else:
+            membership, _ = timed(
+                "exact_groups", lambda: tagged.select("record_id", "rep_id")
+            )
+        files = tagged.filter(F.col("record_id") == F.col("rep_id")).drop("rep_id")
+
     # ---- Stage 1a: features ------------------------------------------------
     if (m := resumable("features")) is not None:
         feats = catalog.read_table(spark, "features")
@@ -213,7 +260,15 @@ def run_pipeline(
     else:
         def build_clusters():
             edges = clustering.accepted_edges(scores, config)
-            return clustering.connected_components(edges, feats, config)
+            rep_clusters = clustering.connected_components(edges, feats, config)
+            if membership is None:
+                return rep_clusters
+            # expand exact-dup members to their representative's cluster;
+            # labels are unchanged (a cluster's min record id is itself a
+            # representative, so cluster_id == planted entity_id still)
+            return membership.join(
+                rep_clusters.withColumnRenamed("record_id", "rep_id"), "rep_id"
+            ).select("record_id", "cluster_id", "n_iter")
 
         clusters, _ = timed("clusters", build_clusters, rows_in=n_files)
 

@@ -121,6 +121,22 @@ def test_parquet_catalog_roundtrip(spark, tmp_path):
     assert isinstance(get_catalog(spark, str(tmp_path)), ParquetCatalog)
 
 
+def test_exact_collapse_preserves_clusters_and_shrinks_features(spark, tiny_files):
+    """Collapsing byte-identical files to one representative must not
+    change the final clustering (identical content -> identical features
+    -> identical decisions) while featurizing strictly fewer records."""
+    on = P.run_pipeline(tiny_files, PipelineConfig())
+    off = P.run_pipeline(tiny_files, PipelineConfig(collapse_exact_dups=False))
+    a = sorted((r["record_id"], r["cluster_id"]) for r in on.clusters.collect())
+    b = sorted((r["record_id"], r["cluster_id"]) for r in off.clusters.collect())
+    assert a == b
+    feats_on = next(m for m in on.metrics if m["stage"] == "features")["rows_out"]
+    feats_off = next(m for m in off.metrics if m["stage"] == "features")["rows_out"]
+    assert feats_on < feats_off  # the vendored copies collapse to one rep
+    on.unpersist_all()
+    off.unpersist_all()
+
+
 def test_sha_invariant_through_stages(spark, tiny_files):
     """input_hint: content sha256 equality per row through every stage."""
     from sbb_ned_spark.operators import blocking
