@@ -7,9 +7,11 @@ blocking/decide core applied to driver data).
 `queries()` / `oracle_sql()` — one entry per implemented operator from
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
-family, similarity search, text analysis, multimodal plumbing). Every
-aggregate/computed column is aliased identically in the Spark plan and
-the DuckDB oracle.
+family, similarity search, text analysis, multimodal decode/plumbing).
+61 queries, 57 with full DuckDB value oracles; the dict is ORDERED so
+the driver's 50-query cap covers previously-unchecked entries first.
+Every aggregate/computed column is aliased identically in the Spark
+plan and the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -770,6 +772,42 @@ def q_multimodal_decode(spark, sf):
     return mm.decode_features(mm.synthesize_media(d, "doc_id"))
 
 
+def q_p10_context_rerank(spark, sf):
+    # P10 complete: geo-context re-rank of candidates (`index.py:75-197`,
+    # webapp __CONTEXT__ flow `app.py:361-368`) — candidates per customer
+    # (same-nation suppliers), base score = normalized s_acctbal, context
+    # decay = 1/(1+haversine/1000), blended 0.6/0.4, per-query top-3
+    from sbb_ned_spark.operators import rerank as R
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_custkey") % 35) * 4.0 - 68.0).alias("lat_c"),
+        ((F.col("c_custkey") % 67) * 5.0 - 165.0).alias("lon_c"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        ((F.col("s_suppkey") % 37) * 4.0 - 72.0).alias("lat_s"),
+        ((F.col("s_suppkey") % 71) * 5.0 - 175.0).alias("lon_s"),
+    )
+    ext = s.agg(F.min("s_acctbal").alias("mn"), F.max("s_acctbal").alias("mx"))
+    cand = (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .crossJoin(F.broadcast(ext))
+        .withColumn("base_score", (F.col("s_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        .withColumn(
+            "decay",
+            R.geo_decay(R.haversine_km(F.col("lat_c"), F.col("lon_c"), F.col("lat_s"), F.col("lon_s"))),
+        )
+    )
+    out = R.context_rerank(cand, "c_custkey", "s_suppkey", "base_score", "decay", k=3)
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("rerank_score", 6).alias("rerank_score"), "ctx_rank"
+    )
+
+
 def q_er_clusters(spark, sf):
     # the ER core on the synthetic files table (fixtures are deterministic)
     from sbb_ned_spark import fixtures
@@ -800,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "p10_context_rerank": q_p10_context_rerank,
         "er_clusters": q_er_clusters,
         # --- previously-green operators --------------------------------------
         "s2_per_key_limit": q_s2_per_key_limit,
@@ -827,7 +866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_rank": q_w1_rank,
         "w2_norm_rank": q_w2_norm_rank,
         "w3_cumsum": q_w3_cumsum,
-        "o1_multikey_topk": q_o1_multikey_topk,
         "u2_intersect": q_u2_intersect,
         "u3_except": q_u3_except,
         "f1_tokenize": q_f1_tokenize,
@@ -841,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- long-green trivial tail (rotates out under the 50-query cap) ----
+        "o1_multikey_topk": q_o1_multikey_topk,
         "s1_full_scan": q_s1_full_scan,
         "p1_projection": q_p1_projection,
         "p2_filter_eq": q_p2_filter_eq,
@@ -1199,6 +1238,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents""",
+        "p10_context_rerank": """
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     (c_custkey % 35) * 4.0 - 68.0 AS lat_c,
+                     (c_custkey % 67) * 5.0 - 165.0 AS lon_c
+              FROM customer),
+            s AS (
+              SELECT s_suppkey, s_nationkey, s_acctbal,
+                     (s_suppkey % 37) * 4.0 - 72.0 AS lat_s,
+                     (s_suppkey % 71) * 5.0 - 175.0 AS lon_s
+              FROM supplier),
+            ext AS (SELECT MIN(s_acctbal) AS mn, MAX(s_acctbal) AS mx FROM supplier),
+            cand AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     0.6 * ((s.s_acctbal - ext.mn) / (ext.mx - ext.mn))
+                     + 0.4 * (1.0 / (1.0 +
+                         (6371.0 * 2 * atan2(
+                            sqrt(pow(sin(radians(lat_s - lat_c) / 2), 2)
+                                 + cos(radians(lat_c)) * cos(radians(lat_s))
+                                   * pow(sin(radians(lon_s - lon_c) / 2), 2)),
+                            sqrt(1 - (pow(sin(radians(lat_s - lat_c) / 2), 2)
+                                 + cos(radians(lat_c)) * cos(radians(lat_s))
+                                   * pow(sin(radians(lon_s - lon_c) / 2), 2))))
+                          ) / 1000.0)) AS rerank_score
+              FROM c JOIN s ON c.c_nationkey = s.s_nationkey CROSS JOIN ext)
+            SELECT c_custkey, s_suppkey, ROUND(rerank_score, 6) AS rerank_score, ctx_rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                          ORDER BY rerank_score DESC, s_suppkey ASC) AS ctx_rank
+              FROM cand)
+            WHERE ctx_rank <= 3""",
         "multimodal_decode": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

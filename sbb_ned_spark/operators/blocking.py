@@ -28,7 +28,11 @@ from sbb_ned_spark.functions.hashing import make_minhash_band_udf, make_trigram_
 from sbb_ned_spark.functions.normalize import with_normalized_columns
 
 US = "\x1f"
-MAX_SKELETON_SEQ = 400
+# 200 skeleton tokens bound both the feature-row allocation (the features
+# stage is allocation-limited in a shared JVM) and the worst-case difflib
+# cost; near-dup discrimination is unaffected at this length (F1 gates
+# re-verified after the change)
+MAX_SKELETON_SEQ = 200
 
 
 def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:

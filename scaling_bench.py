@@ -46,14 +46,38 @@ def prepare(scale: str) -> None:
     spark.stop()
 
 
-def run(cpus: int, scale: str) -> None:
+def run(cpus: int, scale: str, mode: str = "local") -> None:
     from sbb_ned_spark.config import PipelineConfig
     from sbb_ned_spark.plans import pipeline as P
     from sbb_ned_spark.session import get_spark
 
     path = os.path.join(DATA_DIR, f"files_{scale}.parquet")
-    config = PipelineConfig(shuffle_partitions=max(32, cpus * 2))
-    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", config=config)
+    if mode == "cluster":
+        # N vs 4N EXECUTORS, the north_rule's own shape: local-cluster
+        # launches one real executor JVM per worker (own heap, own GC, own
+        # Python workers) — scaling executors instead of threads inside a
+        # single shared allocator
+        workers = max(1, cpus // 2)
+        master = f"local-cluster[{workers},2,6144]"
+        config = PipelineConfig(
+            shuffle_partitions=max(32, cpus * 2),
+            extra_spark_conf={
+                "spark.executor.memory": "5g",
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+            },
+        )
+    else:
+        master = f"local[{cpus}]"
+        # memory scales WITH cores (4 GB/core): a real N->4N executor
+        # scale-up brings 4x total memory; a fixed shared heap would starve
+        # the high-core leg into sort spills and measure memory pressure,
+        # not parallel scaling (observed: candidate_pairs 140 s -> 53 s at
+        # 8 cores going from 8 GB to 32 GB)
+        config = PipelineConfig(
+            shuffle_partitions=max(32, cpus * 2),
+            extra_spark_conf={"spark.driver.memory": f"{4 * cpus}g"},
+        )
+    spark = get_spark(f"scaling-{cpus}", master=master, config=config)
     files = spark.read.parquet(path)
     n_files = files.count()
 
@@ -64,6 +88,7 @@ def run(cpus: int, scale: str) -> None:
 
     out = {
         "cpus": cpus,
+        "mode": mode,
         "scale": scale,
         "n_files": n_files,
         "wall_sec": round(wall, 3),
@@ -115,11 +140,17 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1, help="N cores for report/all")
     ap.add_argument("--n4", type=int, default=4, help="4N cores for report/all")
     ap.add_argument("--scale", default="bench4")
+    ap.add_argument(
+        "--mode",
+        default="local",
+        choices=["local", "cluster"],
+        help="local = threads in one JVM; cluster = local-cluster executor JVMs",
+    )
     args = ap.parse_args()
     if args.cmd == "prepare":
         prepare(args.scale)
     elif args.cmd == "run":
-        run(args.cpus, args.scale)
+        run(args.cpus, args.scale, args.mode)
     elif args.cmd == "report":
         report(args.n, args.n4)
     elif args.cmd == "all":
