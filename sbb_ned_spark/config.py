@@ -73,6 +73,9 @@ class PipelineConfig:
     decision_threshold: float = 0.62
     cc_max_iterations: int = 25
     cc_checkpoint_every: int = 1      # checkpoint() each CC iteration
+    # convergence fingerprints are driver barriers; check every 2nd round
+    # (a converged round is cheap, a barrier is pure latency)
+    cc_fingerprint_every: int = 2
 
     # --- execution ------------------------------------------------------------
     shuffle_partitions: int = 32

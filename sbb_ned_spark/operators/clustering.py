@@ -102,6 +102,7 @@ def connected_components(
         cur = cur.localCheckpoint(eager=False)
         n_iter = 0
         prev_fp = _edge_fingerprint(cur)
+        every = max(1, config.cc_fingerprint_every)
         for i in range(config.cc_max_iterations):
             n_iter = i + 1
             sym = _symmetric(cur)
@@ -110,10 +111,15 @@ def connected_components(
             cur = _small_star(sym2)
             if config.cc_checkpoint_every and n_iter % config.cc_checkpoint_every == 0:
                 cur = cur.localCheckpoint(eager=False)
-            fp = _edge_fingerprint(cur)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
+            # the fingerprint is a BARRIER (one driver action per check);
+            # star rounds on an already-converged edge set are cheap, so
+            # checking every `every` rounds trades at most (every-1) extra
+            # cheap rounds for half the latency-bound barriers
+            if n_iter % every == 0 or n_iter == config.cc_max_iterations:
+                fp = _edge_fingerprint(cur)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
