@@ -8,7 +8,7 @@ blocking/decide core applied to driver data).
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
 family, similarity search, text analysis, multimodal decode/plumbing).
-61 queries, 57 with full DuckDB value oracles; the dict is ORDERED so
+62 queries, 58 with full DuckDB value oracles; the dict is ORDERED so
 the driver's 50-query cap covers previously-unchecked entries first.
 Every aggregate/computed column is aliased identically in the Spark
 plan and the DuckDB oracle.
