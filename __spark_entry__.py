@@ -581,7 +581,10 @@ def q_f9_haversine(spark, sf):
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b")) * F.pow(F.sin(dlon / 2), 2)
     )
-    km = 6371.0 * 2 * F.atan2(F.sqrt(h), F.sqrt(1 - h))
+    # clamp to [0,1]: near-antipodal pairs push h a ulp above 1.0 and
+    # sqrt(1-h) goes NaN (oracle applies the identical LEAST/GREATEST)
+    h = F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))
+    km = 6371.0 * 2 * F.atan2(F.sqrt(h), F.sqrt(F.lit(1.0) - h))
     return j.select("k_a", "k_b", F.round(km, 3).alias("dist_km"))
 
 
@@ -1150,16 +1153,17 @@ def oracle_sql() -> dict[str, str]:
         "f9_haversine": """
             WITH pts AS (
               SELECT n_nationkey, n_nationkey * 3.0 - 30.0 AS lat,
-                     n_regionkey * 20.0 - 100.0 AS lon FROM nation)
-            SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b,
-                   ROUND(6371.0 * 2 * atan2(
-                     sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
-                          + cos(radians(a.lat)) * cos(radians(b.lat))
-                            * pow(sin(radians(b.lon - a.lon) / 2), 2)),
-                     sqrt(1 - (pow(sin(radians(b.lat - a.lat) / 2), 2)
-                          + cos(radians(a.lat)) * cos(radians(b.lat))
-                            * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS dist_km
-            FROM pts a, pts b WHERE a.n_nationkey < b.n_nationkey""",
+                     n_regionkey * 20.0 - 100.0 AS lon FROM nation),
+            h AS (
+              SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b,
+                     LEAST(GREATEST(
+                       pow(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin(radians(b.lon - a.lon) / 2), 2), 0.0), 1.0) AS hv
+              FROM pts a, pts b WHERE a.n_nationkey < b.n_nationkey)
+            SELECT k_a, k_b,
+                   ROUND(6371.0 * 2 * atan2(sqrt(hv), sqrt(1.0 - hv)), 3) AS dist_km
+            FROM h""",
         "f4_translate": """
             SELECT doc_id, translate(lower(trim(text)), 'aeiou', '@31OU') AS folded
             FROM documents""",
@@ -1250,19 +1254,20 @@ def oracle_sql() -> dict[str, str]:
                      (s_suppkey % 71) * 5.0 - 175.0 AS lon_s
               FROM supplier),
             ext AS (SELECT MIN(s_acctbal) AS mn, MAX(s_acctbal) AS mx FROM supplier),
+            hv_ AS (
+              SELECT c.c_custkey, s.s_suppkey, s.s_acctbal, ext.mn, ext.mx,
+                     LEAST(GREATEST(
+                       pow(sin(radians(lat_s - lat_c) / 2), 2)
+                       + cos(radians(lat_c)) * cos(radians(lat_s))
+                         * pow(sin(radians(lon_s - lon_c) / 2), 2), 0.0), 1.0) AS hv
+              FROM c JOIN s ON c.c_nationkey = s.s_nationkey CROSS JOIN ext),
             cand AS (
-              SELECT c.c_custkey, s.s_suppkey,
-                     0.6 * ((s.s_acctbal - ext.mn) / (ext.mx - ext.mn))
+              SELECT c_custkey, s_suppkey,
+                     0.6 * ((s_acctbal - mn) / (mx - mn))
                      + 0.4 * (1.0 / (1.0 +
-                         (6371.0 * 2 * atan2(
-                            sqrt(pow(sin(radians(lat_s - lat_c) / 2), 2)
-                                 + cos(radians(lat_c)) * cos(radians(lat_s))
-                                   * pow(sin(radians(lon_s - lon_c) / 2), 2)),
-                            sqrt(1 - (pow(sin(radians(lat_s - lat_c) / 2), 2)
-                                 + cos(radians(lat_c)) * cos(radians(lat_s))
-                                   * pow(sin(radians(lon_s - lon_c) / 2), 2))))
-                          ) / 1000.0)) AS rerank_score
-              FROM c JOIN s ON c.c_nationkey = s.s_nationkey CROSS JOIN ext)
+                         (6371.0 * 2 * atan2(sqrt(hv), sqrt(1.0 - hv))) / 1000.0))
+                       AS rerank_score
+              FROM hv_)
             SELECT c_custkey, s_suppkey, ROUND(rerank_score, 6) AS rerank_score, ctx_rank
             FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey

@@ -22,14 +22,20 @@ from pyspark.sql.window import Window
 
 
 def haversine_km(lat_a: Column, lon_a: Column, lat_b: Column, lon_b: Column) -> Column:
-    """Great-circle distance in km, pure Catalyst (F9, `index.py:99-109`)."""
+    """Great-circle distance in km, pure Catalyst (F9, `index.py:99-109`).
+
+    The haversine term ``h`` is clamped to [0, 1]: for near-antipodal
+    points floating error pushes it a ulp above 1.0, and ``sqrt(1 - h)``
+    would go NaN — NaN sorts LARGEST in a descending rank window, so one
+    bad pair would silently take rank 1 downstream."""
     dlat = F.radians(lat_b - lat_a)
     dlon = F.radians(lon_b - lon_a)
     h = (
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(F.radians(lat_a)) * F.cos(F.radians(lat_b)) * F.pow(F.sin(dlon / 2), 2)
     )
-    return 6371.0 * 2 * F.atan2(F.sqrt(h), F.sqrt(1 - h))
+    h = F.least(F.greatest(h, F.lit(0.0)), F.lit(1.0))
+    return 6371.0 * 2 * F.atan2(F.sqrt(h), F.sqrt(F.lit(1.0) - h))
 
 
 def geo_decay(dist_km: Column, scale_km: float = 1000.0) -> Column:

@@ -1,0 +1,104 @@
+"""Ad-hoc replica of the driver correctness gate for selected queries.
+
+Usage: python scripts/check_queries.py [sf_dir] q1 q2 ...
+Runs each named queries() entry on Spark and its oracle_sql() on DuckDB
+over the same parquet, comparing row count, columns, and the
+order-insensitive multiset of (rounded) values — the same normalization
+as tests/test_entry_oracle.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _normalize_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .appName("check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = entry_mod.oracle_sql()
+    qs = entry_mod.queries()
+    names = args or sorted(set(qs) & set(oracle))
+    bad = 0
+    for name in names:
+        sdf = qs[name](spark, sf)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_cols = list(sdf.columns)
+        if name not in oracle:
+            print(f"{name}: NO ORACLE spark_rows={len(spark_rows)}")
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERR {e}")
+            bad += 1
+            continue
+        sc, sr = _normalize_rows(spark_cols, spark_rows)
+        dc, dr = _normalize_rows(duck_cols, duck_rows)
+        if sc != dc:
+            print(f"{name}: COLS {sc} vs {dc}")
+            bad += 1
+        elif len(sr) != len(dr):
+            print(f"{name}: ROWS {len(sr)} vs {len(dr)}")
+            bad += 1
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"{name}: VALUES diff, first: {diffs}")
+            bad += 1
+        else:
+            print(f"{name}: OK ({len(sr)} rows)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
