@@ -1274,6 +1274,18 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY rerank_score DESC, s_suppkey ASC) AS ctx_rank
               FROM cand)
             WHERE ctx_rank <= 3""",
+        "multimodal_features": """
+            WITH s AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS content_sha,
+                     CAST('0x' || substring(sha256(text), 1, 8) AS BIGINT) AS seed
+              FROM documents)
+            SELECT media_id, kind, n_bytes, content_sha,
+                   CAST(64 + seed % 1024 AS INTEGER) AS fake_width,
+                   CAST(64 + (seed >> 10) % 1024 AS INTEGER) AS fake_height,
+                   CAST(1000 + (seed >> 20) % 60000 AS INTEGER) AS fake_duration_ms
+            FROM s""",
         "multimodal_decode": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -1315,9 +1327,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sig0 a JOIN sig0 b ON a.id < b.id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
-    # deliberately rows-only (approximate or full-pipeline):
-    #   ann_lsh_topk / embedding_near_dup (approximate recall),
-    #   multimodal_features (stubbed decode), er_clusters (full pipeline)
+    # ann_lsh_topk: tau-derived (planes, tables) make the candidate set a
+    # verified superset of the true top-k on the driver fixtures (pinned
+    # by pytest recall gates at sf0.001/0.01/0.1), and the exact re-rank
+    # makes the output identical to brute force — so the brute-force SQL
+    # IS its oracle
+    sql["ann_lsh_topk"] = sql["ann_bruteforce_topk"]
+    # embedding_near_dup: recall derived from tau (>= 0.995 for a pair AT
+    # tau; better above), verified exact at the fixture scales -> the
+    # brute-force all-pairs cosine is the oracle
+    sql["embedding_near_dup"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5"""
+    # deliberately rows-only (full-pipeline): er_clusters
     sql["text_language_id"] = _LANGID_SQL
     sql["text_quality"] = _QUALITY_SQL
     return sql

