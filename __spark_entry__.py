@@ -8,8 +8,9 @@ blocking/decide core applied to driver data).
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
 family, similarity search, text analysis, multimodal decode/plumbing).
-62 queries, 58 with full DuckDB value oracles; the dict is ORDERED so
-the driver's 50-query cap covers previously-unchecked entries first.
+63 queries, 62 with full DuckDB value oracles (er_clusters, the full ER
+pipeline, is the one rows-only entry); the dict is ORDERED so the
+driver's 50-query cap covers this round's changed entries first.
 Every aggregate/computed column is aliased identically in the Spark
 plan and the DuckDB oracle.
 """
@@ -811,6 +812,32 @@ def q_p10_context_rerank(spark, sf):
     )
 
 
+def q_p10_temporal_rerank(spark, sf):
+    # P10 temporal path (`index.py:116-197`: not-after filter + age decay,
+    # the reference's __CONTEXT__ temporal flow): per customer, re-rank
+    # their orders — base score = min-max-normalized o_totalprice, decay =
+    # 1/(1+age_days/365) vs a reference date, blended 0.6/0.4, top-3
+    from sbb_ned_spark.operators import rerank as R
+
+    o = _t(spark, sf, "orders")
+    ref = F.lit("1998-01-01").cast("date")
+    ext = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    cand = (
+        o.filter(F.col("o_orderdate") <= ref)  # not-after filter
+        .crossJoin(F.broadcast(ext))
+        .withColumn(
+            "base_score", (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        )
+        .withColumn(
+            "decay", R.temporal_decay(F.datediff(ref, F.col("o_orderdate")).cast("double"))
+        )
+    )
+    out = R.context_rerank(cand, "o_custkey", "o_orderkey", "base_score", "decay", k=3)
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("rerank_score", 6).alias("rerank_score"), "ctx_rank"
+    )
+
+
 def q_er_clusters(spark, sf):
     # the ER core on the synthetic files table (fixtures are deterministic)
     from sbb_ned_spark import fixtures
@@ -824,33 +851,37 @@ def q_er_clusters(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries per round.
-    # Round-1 recorded rows only for the first 50, leaving the ann/text/
-    # multimodal/er entries unchecked — so the previously-unchecked queries
-    # (plus the newly-fixed w5 and the newly-oracled dedup_simhash) lead,
-    # and long-green trivial basics rotate to the tail.
+    # Round-3 priority: everything CHANGED this round (haversine clamp,
+    # tau-derived ANN + new oracles, new temporal rerank, retuned
+    # dedup_minhash_lsh) plus round-2's newly-green block; long-green
+    # trivial basics rotate to the tail (all were green in rounds 1-2 and
+    # stay covered by the local oracle replica at sf0.01).
     return {
-        # --- priority: fixed / newly-oracled / previously-unchecked ---------
+        # --- changed this round ------------------------------------------------
+        "p10_context_rerank": q_p10_context_rerank,
+        "p10_temporal_rerank": q_p10_temporal_rerank,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "multimodal_features": q_multimodal_features,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "f9_haversine": q_f9_haversine,
+        "er_clusters": q_er_clusters,
+        # --- green since round 2 ------------------------------------------------
         "w5_session_renumber": q_w5_session_renumber,
         "dedup_simhash": q_dedup_simhash,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
-        "p10_context_rerank": q_p10_context_rerank,
-        "er_clusters": q_er_clusters,
-        # --- previously-green operators --------------------------------------
+        # --- green since round 1/2 ----------------------------------------------
         "s2_per_key_limit": q_s2_per_key_limit,
         "p5_hot_key_filter": q_p5_hot_key_filter,
         "p6_sanity_filter": q_p6_sanity_filter,
         "p7_prefix_filter": q_p7_prefix_filter,
         "p9_temporal_filter": q_p9_temporal_filter,
         "p11_overlap_filter": q_p11_overlap_filter,
-        "p12_fillna": q_p12_fillna,
         "j2_hash_join": q_j2_hash_join,
         "j3_broadcast_dim_join": q_j3_broadcast_dim_join,
         "j4_evidence_join": q_j4_evidence_join,
@@ -873,15 +904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_except": q_u3_except,
         "f1_tokenize": q_f1_tokenize,
         "f8_date_extract": q_f8_date_extract,
-        "f9_haversine": q_f9_haversine,
         "f11_softmax": q_f11_softmax,
         "f12_run_length": q_f12_run_length,
         "f10_log_odds": q_f10_log_odds,
         "f15_json": q_f15_json,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- long-green trivial tail (rotates out under the 50-query cap) ----
+        "p12_fillna": q_p12_fillna,
         "o1_multikey_topk": q_o1_multikey_topk,
         "s1_full_scan": q_s1_full_scan,
         "p1_projection": q_p1_projection,
@@ -1272,6 +1302,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
                           ORDER BY rerank_score DESC, s_suppkey ASC) AS ctx_rank
+              FROM cand)
+            WHERE ctx_rank <= 3""",
+        "p10_temporal_rerank": """
+            WITH ext AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+            cand AS (
+              SELECT o_custkey, o_orderkey,
+                     0.6 * ((o_totalprice - mn) / (mx - mn))
+                     + 0.4 * (1.0 / (1.0 + GREATEST(
+                         date_diff('day', o_orderdate, DATE '1998-01-01'), 0) / 365.0))
+                       AS rerank_score
+              FROM orders CROSS JOIN ext
+              WHERE o_orderdate <= DATE '1998-01-01')
+            SELECT o_custkey, o_orderkey, ROUND(rerank_score, 6) AS rerank_score, ctx_rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY rerank_score DESC, o_orderkey ASC) AS ctx_rank
               FROM cand)
             WHERE ctx_rank <= 3""",
         "multimodal_features": """
