@@ -31,14 +31,15 @@ _CATALOGS: dict[str, object] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # all table access goes through the catalog seam (Iceberg when the
-    # runtime is configured, parquet dirs otherwise); driver testdata is
-    # name.parquet files, which the parquet backend addresses by name
+    # runtime is configured, parquet dirs otherwise) by BARE table name;
+    # the storage layout (dir vs .parquet file vs Iceberg FQN) is the
+    # catalog's concern
     from sbb_ned_spark.sources.catalog import get_catalog
 
     cat = _CATALOGS.get(sf_dir)
     if cat is None:
         cat = _CATALOGS[sf_dir] = get_catalog(spark, sf_dir)
-    return cat.read_table(spark, f"{name}.parquet")
+    return cat.read_table(spark, name)
 
 
 # ---------------------------------------------------------------------------

@@ -264,10 +264,15 @@ def generate_labeled_pairs_pdf(
 
 
 _FIXTURE_CACHE_DIR = "/tmp/sbb_ned_fixture_cache"
+# bump on ANY change to the generators above: the /tmp cache is keyed by
+# (scale, seed, version) — without the version, edits to generate_files_pdf
+# would silently serve the stale pre-change corpus to benches/tests that
+# survive across runs on the same machine
+_GENERATOR_VERSION = 2
 
 
 def fixture_parquet_path(scale: str, seed: int = 42) -> str:
-    return f"{_FIXTURE_CACHE_DIR}/files_{scale}_s{seed}.parquet"
+    return f"{_FIXTURE_CACHE_DIR}/files_{scale}_s{seed}_v{_GENERATOR_VERSION}.parquet"
 
 
 def ensure_files_parquet(scale: str = "tiny", seed: int = 42) -> str:

@@ -106,7 +106,10 @@ def decode_wav_header(raw: bytes) -> int:
     while pos + 8 <= len(raw) and (byte_rate is None or data_size is None):
         cid = raw[pos : pos + 4]
         csize = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
-        if cid == b"fmt " and pos + 16 <= len(raw):
+        # guard the FULL read (pos+20): a blob truncated between pos+16
+        # and pos+20 must raise ValueError (the documented contract), not
+        # let struct.unpack see a short buffer
+        if cid == b"fmt " and pos + 20 <= len(raw):
             byte_rate = struct.unpack("<I", raw[pos + 16 : pos + 20])[0]
         elif cid == b"data":
             data_size = csize

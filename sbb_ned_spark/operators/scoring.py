@@ -217,6 +217,7 @@ def candidate_stats(
     stat_cols: tuple = _STAT_COLS,
     quantiles: tuple = QUANTILE_GRID,
     among_fractions: tuple = AMONG_TOP_FRACTIONS,
+    symmetric: bool = True,
 ) -> DataFrame:
     """Per-record aggregate features over its candidate scores, in the
     decider's FULL shape (`models/decider.py:88-166`): for every score
@@ -224,6 +225,14 @@ def candidate_stats(
     overall_* (all records, broadcast back), diff_* (case - overall); plus
     among-top occupancy against a grid of global score percentiles (the
     reference's rank-interval features, `decider.py:115-121`).
+
+    ``symmetric=True`` (default) aggregates over EVERY pair a record
+    participates in — the b-side is unioned back with swapped ids before
+    the groupBy, matching the reference's decider, which sees each
+    candidate's full pair list regardless of orientation
+    (`models/decider.py:88-96`). A record appearing only as ``id_b``
+    still gets a stats row. Global (overall_*/threshold) references are
+    computed over the PAIR set, each pair once.
 
     Entirely native aggregation — whole-stage codegen, no Python. The
     global references are ONE-ROW aggregates broadcast back (J3 pattern),
@@ -234,6 +243,15 @@ def candidate_stats(
     other components are suffixed ``_<col>``.
     """
     grid_sql = ",".join(str(q) for q in quantiles)
+    per = scores.select(F.col("id_a").alias("record_id"), "score", *[
+        c for c in stat_cols if c != "score"
+    ])
+    if symmetric:
+        per = per.unionByName(
+            scores.select(F.col("id_b").alias("record_id"), "score", *[
+                c for c in stat_cols if c != "score"
+            ])
+        )
     aggs, overall_aggs = [], []
     for c in stat_cols:
         sfx = "" if c == "score" else f"_{c}"
@@ -254,7 +272,7 @@ def candidate_stats(
             F.coalesce(F.stddev(c), F.lit(0.0)).alias(f"overall_std{sfx}"),
         ]
     aggs.append(F.count("*").alias("case_n"))
-    case = scores.groupBy("id_a").agg(*aggs)
+    case = per.groupBy("record_id").agg(*aggs)
     overall = scores.agg(*overall_aggs)
     # global one-row aggregate joined back — broadcast nested loop of a
     # single row (J3 pattern: ranking ⋈ tiny dim, `index.py:73`)
@@ -279,8 +297,8 @@ def candidate_stats(
         )
         for i, f in enumerate(among_fractions)
     ]
-    among = scores.crossJoin(F.broadcast(thr)).groupBy("id_a").agg(*among_aggs)
-    out = out.join(among, "id_a", "left")
+    among = per.crossJoin(F.broadcast(thr)).groupBy("record_id").agg(*among_aggs)
+    out = out.join(among, "record_id", "left")
     return out.fillna(
         {f"among_top{round((1 - f) * 100)}": 0.0 for f in among_fractions}
     )

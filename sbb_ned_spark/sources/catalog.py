@@ -70,7 +70,13 @@ class ParquetCatalog:
         return os.path.join(self.root, name)
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self._path(name))
+        # bare table names resolve to `<root>/<name>` (checkpoint dirs) or
+        # `<root>/<name>.parquet` (driver testdata files) — callers address
+        # tables by NAME only; the storage layout is the catalog's concern
+        p = self._path(name)
+        if not os.path.exists(p) and os.path.exists(p + ".parquet"):
+            p = p + ".parquet"
+        return spark.read.parquet(p)
 
     def write_table(
         self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: tuple = ()
@@ -108,11 +114,25 @@ class IcebergCatalog:
     Requires ``iceberg-spark-runtime`` on the classpath and
     ``spark.sql.catalog.<catalog>`` configured (e.g. a HadoopCatalog with a
     local warehouse dir). Manifests are JSON files under ``manifest_dir``
-    (resume metadata is ours, not table data)."""
+    (resume metadata is ours, not table data).
+
+    Use :func:`for_root` rather than the bare constructor: the namespace
+    and manifest dir are derived from the logical root so two pipelines
+    with different checkpoint/data roots can NEVER collide in the same
+    tables or resume from each other's manifests."""
 
     catalog: str = "local"
     namespace: str = "er"
     manifest_dir: str = "/tmp/sbb_ned_iceberg_manifests"
+
+    @classmethod
+    def for_root(cls, root: str, catalog: str = "local") -> "IcebergCatalog":
+        tag = sha256(os.path.abspath(root).encode()).hexdigest()[:12]
+        return cls(
+            catalog=catalog,
+            namespace=f"er_{tag}",
+            manifest_dir=f"/tmp/sbb_ned_iceberg_manifests/{tag}",
+        )
 
     def _fqn(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -173,7 +193,10 @@ def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
 
 def get_catalog(spark: SparkSession, root: str) -> TableCatalog:
     """The seam: Iceberg when the runtime is present, parquet dirs
-    otherwise — callers only ever see read_table/write_table by name."""
+    otherwise — callers only ever see read_table/write_table by name.
+    The root is part of the table identity on BOTH backends (parquet: the
+    directory; Iceberg: a root-hash namespace + manifest dir), so distinct
+    datasets/checkpoint roots can never serve each other's tables."""
     if iceberg_available(spark):
-        return IcebergCatalog()
+        return IcebergCatalog.for_root(root)
     return ParquetCatalog(root)

@@ -7,13 +7,17 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.01 = the DRIVER's correctness scale: round 2's p10 NaN bug was
+# invisible at sf0.001 purely because no near-antipodal pair occurs there
+# (VERDICT r2 #9 — local gate and driver gate must agree on scale)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -6,6 +6,7 @@ import glob
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from sbb_ned_spark.config import PipelineConfig
 from sbb_ned_spark.plans import pipeline as P
@@ -119,6 +120,33 @@ def test_parquet_catalog_roundtrip(spark, tmp_path):
     # no iceberg runtime in this sandbox: the seam must fall back cleanly
     assert not iceberg_available(spark)
     assert isinstance(get_catalog(spark, str(tmp_path)), ParquetCatalog)
+    # bare names also resolve to <root>/<name>.parquet files (driver data)
+    df.write.parquet(str(tmp_path / "t2.parquet"))
+    assert cat.read_table(spark, "t2").count() == 10
+
+
+def test_iceberg_catalog_roundtrip_when_runtime_present(spark, tmp_path):
+    """Exercises the real Iceberg writeTo/PARTITIONED BY path wherever the
+    iceberg-spark-runtime jar exists; skipped (not silently passed) in this
+    sandbox. Also pins the root-isolation contract: distinct roots get
+    distinct namespaces + manifest dirs."""
+    from sbb_ned_spark.sources.catalog import IcebergCatalog, iceberg_available
+
+    a = IcebergCatalog.for_root(str(tmp_path / "rootA"))
+    b = IcebergCatalog.for_root(str(tmp_path / "rootB"))
+    assert a.namespace != b.namespace and a.manifest_dir != b.manifest_dir
+    assert a.namespace == IcebergCatalog.for_root(str(tmp_path / "rootA")).namespace
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime not on the session classpath")
+    df = spark.range(10).withColumn("b", F.pmod("id", F.lit(2)))
+    a.write_table(df, "t1", partition_by=("b",))
+    assert a.table_exists(spark, "t1")
+    assert a.read_table(spark, "t1").count() == 10
+    a.write_table(df.limit(3), "t1", mode="append")
+    assert a.read_table(spark, "t1").count() == 13
+    a.drop_table(spark, "t1")
+    assert not a.table_exists(spark, "t1")
 
 
 def test_exact_collapse_preserves_clusters_and_shrinks_features(spark, tiny_files):

@@ -140,7 +140,7 @@ def test_candidate_stats_shape(scored):
     stats = scoring.candidate_stats(sc)
     cols = set(stats.columns)
     for c in (
-        "case_min case_max case_mean case_std case_median case_n "
+        "record_id case_min case_max case_mean case_std case_median case_n "
         "overall_min overall_max overall_mean overall_std "
         "diff_min diff_max diff_mean diff_std among_top10".split()
     ):
@@ -151,3 +151,23 @@ def test_candidate_stats_shape(scored):
         | (F.col("case_max") > F.col("overall_max") + 1e-9)
     ).count()
     assert bad == 0
+    # SYMMETRY (VERDICT r2 #7): every record appearing on EITHER side of a
+    # pair gets a stats row — b-side-only records must not be dropped
+    participants = {
+        r["id"]
+        for r in sc.select(F.col("id_a").alias("id"))
+        .unionByName(sc.select(F.col("id_b").alias("id")))
+        .distinct()
+        .collect()
+    }
+    stat_ids = {r["record_id"] for r in stats.select("record_id").collect()}
+    assert stat_ids == participants
+    # a record's pair count sums both orientations
+    import collections
+
+    per = collections.Counter()
+    for r in sc.select("id_a", "id_b").collect():
+        per[r["id_a"]] += 1
+        per[r["id_b"]] += 1
+    got_n = {r["record_id"]: r["case_n"] for r in stats.select("record_id", "case_n").collect()}
+    assert got_n == dict(per)
