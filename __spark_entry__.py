@@ -39,7 +39,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cat = _CATALOGS.get(sf_dir)
     if cat is None:
         cat = _CATALOGS[sf_dir] = get_catalog(spark, sf_dir)
-    return cat.read_table(spark, name)
+    # driver testdata is single-row-group parquet -> 1 scan partition; the
+    # guard fans small scans out to cluster parallelism (no-op at scale,
+    # where scans arrive with thousands of splits)
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(cat.read_table(spark, name))
 
 
 # ---------------------------------------------------------------------------

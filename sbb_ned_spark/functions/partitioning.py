@@ -1,0 +1,32 @@
+"""Scan-parallelism guard.
+
+Small parquet inputs (single-row-group files — the driver testdata, the
+bench fixtures) arrive as ONE scan partition, so every narrow expression
+and UDF before the first shuffle runs on one core no matter how many the
+cluster has: measured at sf0.1, the dedup feature expressions ran 32x
+under-parallel. Parquet cannot split inside a row group, so the only
+remedy is an explicit repartition after the scan.
+
+``ensure_min_parallelism`` is a conditional repartition: a no-op whenever
+the upstream already has at least the cluster's default parallelism —
+which is exactly the 100 TB case, where scans arrive with thousands of
+splits and an extra shuffle would be a regression. It only fires in the
+small-file regime, where the shuffle is trivially cheap and buys full
+fan-out for the expensive narrow stage that follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ensure_min_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition up to ``defaultParallelism`` iff the plan currently has
+    fewer partitions. ``key`` hash-partitions (co-locates a downstream
+    groupBy/join); otherwise round-robin."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)

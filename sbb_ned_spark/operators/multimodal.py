@@ -189,6 +189,9 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
 
 def decode_features(media: DataFrame) -> DataFrame:
     """mapInPandas over media blobs using the REAL header decoders."""
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    media = ensure_min_parallelism(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,6 +225,9 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     bytes (sha-seeded) so tests can assert exact values; swap
     ``decode_real`` in when codecs are available.
     """
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    media = ensure_min_parallelism(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -144,6 +144,9 @@ def _with_table_buckets(
     pair dedup shuffle bare ids (a few bytes/row); vectors are joined
     back once per side only for the exact verify — at scale the pair
     stream dominates row count, so it must stay narrow."""
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     udf = make_hyperplane_buckets_udf(dim, n_planes, n_tables, seed)
     return df.select(
         F.col(id_col).alias(out_id),
