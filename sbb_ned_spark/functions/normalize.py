@@ -5,16 +5,25 @@ Analog of the reference's surface normalization
 split on separators, strip non-word chars) re-targeted at source code and
 kept entirely JVM-side (whole-stage codegen; no Python in this hot path).
 
-Hot-path design: token strings are hashed ONCE (`tok_hashes`); skeleton,
-shingles and token sets are all derived in hash space. Two measured
-pitfalls drove this shape (117k files, local[8]):
+Division of labor (re-measured round 3, bench 117k files / 8 cores):
+Catalyst does ONLY what it is fast at — regex extraction and xxhash64 —
+and everything derived from the token hashes (skeleton, shingles, token
+set, MinHash, trigram profile) happens in ONE fused numpy UDF
+(`hashing.make_fused_features_udf`). Three measured Catalyst pitfalls
+drove this split:
 
-- per-token regex (`rlike('^[0-9]+$')`) in the skeleton cost ~16s —
-  replaced by an exception-free ``try_cast``;
-- per-shingle string building (`concat_ws(slice(...))` inside a lambda)
-  is quadratic-ish and allocation-bound (300s vs 17s on a 20k sample) —
-  replaced by shift/XOR combination of consecutive token hashes via
-  ``zip_with`` over shifted slices.
+- ``split`` + length-filter lambda tokenization: 15.7 s; a single
+  ``regexp_extract_all('[a-z0-9_]{2,}')`` pass produces the identical
+  array in 2.0 s (regex is precompiled; no empty-string entries, no
+  second pass);
+- per-token ``try_cast('bigint')`` numeric test: +16 s over the hash
+  pass alone — a precompiled ``rlike('^[0-9]+$')`` is ~7x cheaper (the
+  semantic difference is >19-digit integer tokens, which try_cast
+  rejects by overflow and rlike accepts — both rare and F1-neutral);
+- ``zip_with``/``array_contains(lit([...]))`` inside lambdas allocate
+  per ELEMENT (the keyword array literal is rebuilt per evaluation);
+  ``isin`` compiles to a static InSet, and the skeleton substitution
+  moved into the fused UDF entirely.
 """
 
 from __future__ import annotations
@@ -41,94 +50,33 @@ def norm_content(content: Column) -> Column:
 
 
 def tokens(norm: Column, min_len: int = 2) -> Column:
-    """Split normalized content on non-word runs; keep tokens >= min_len."""
-    parts = F.split(norm, r"[^a-z0-9_]+")
-    return F.filter(parts, lambda t: F.length(t) >= min_len)
+    """All ``[a-z0-9_]`` runs of length >= min_len, one regex pass."""
+    return F.regexp_extract_all(norm, F.lit(f"[a-z0-9_]{{{min_len},}}"), 0)
 
 
-def skeleton(toks: Column) -> Column:
-    """Rename-invariant token stream (string form — reference parity /
-    debugging; the hot path uses :func:`skeleton_hashes`).
-
-    Keywords and numeric literals kept verbatim, identifiers
-    canonicalized to ``ID``. Keeping literal constants makes the skeleton
-    rename-invariant but still discriminative between structurally-similar
-    non-duplicates (the same role `match_uniqueness` plays in the
-    reference ranking, `index.py:692-703`)."""
-    kw = F.lit(KEYWORDS)  # array literal, broadcast as part of the plan
+def fixed_token_mask(toks: Column) -> Column:
+    """Per-token boolean: keeps its own hash in the skeleton (keyword or
+    numeric literal) vs collapses to the ID hash. Keywords via a static
+    InSet, numerals via one precompiled regex."""
     return F.transform(
-        toks,
-        lambda t: F.when(F.array_contains(kw, t), t)
-        .when(t.try_cast("bigint").isNotNull(), t)
-        .otherwise(F.lit("ID")),
+        toks, lambda t: t.isin(*KEYWORDS) | t.rlike("^[0-9]+$")
     )
 
 
-def skeleton_hashes(toks: Column, th: Column) -> Column:
-    """Hash-space skeleton: keywords and numeric literals keep their own
-    token hash, identifiers collapse to a single ID hash. No skeleton
-    string array is materialized; the numeric test is ``try_cast``
-    (exception-free JVM parse), not a per-token regex."""
-    kw = F.lit(KEYWORDS)
-    id_hash = F.xxhash64(F.lit("\x00__ID__"))  # constant-folded literal
-    return F.zip_with(
-        toks,
-        th,
-        lambda t, h: F.when(F.array_contains(kw, t), h)
-        .when(t.try_cast("bigint").isNotNull(), h)
-        .otherwise(id_hash),
-    )
-
-
-def shingle_hashes_from_hashes(th: Column, k: int = 3) -> Column:
-    """k-gram shingle hashes (bigint) from an already-hashed token array.
-
-    A k-gram hash is the positional shift/XOR combination of k
-    consecutive token hashes, built with ``zip_with`` over shifted
-    ``slice``s so every input is evaluated once per row (O(n·k)).
-    Collision quality is ample for blocking keys."""
-    n = F.size(th)
-
-    def _mix(shift: int):
-        # factory: zip_with inspects lambda arity, so the shift must be
-        # closed over, not passed as a defaulted third parameter
-        return lambda x, y: x.bitwiseXOR(F.shiftleft(y, shift))
-
-    acc = F.transform(th, lambda x: F.shiftleft(x, k - 1))
-    for j in range(1, k):
-        acc = F.zip_with(acc, F.slice(th, j + 1, n), _mix(k - 1 - j))
-    grams = F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
-    return F.when(n >= k, grams).otherwise(F.array_distinct(th))
-
-
-def shingle_hashes(toks: Column, k: int = 3) -> Column:
-    """k-gram shingle hashes over a (string) token array."""
-    return shingle_hashes_from_hashes(F.transform(toks, lambda t: F.xxhash64(t)), k)
-
-
-def token_hashes(toks: Column) -> Column:
-    """Distinct sorted token hash set (bigint) — compact set representation
-    shipped through shuffles instead of raw content (SURVEY.md §7.4.4)."""
-    return F.array_sort(F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t))))
-
-
-def with_normalized_columns(df, content_col: str = "content", k: int = 3, min_len: int = 2):
-    """Attach all derived normalization columns.
+def with_normalized_columns(df, content_col: str = "content", min_len: int = 2):
+    """Attach the Catalyst-side normalization columns consumed by the
+    fused feature UDF: norm_content, tokens, tok_hashes, fixed_mask,
+    n_tokens, norm_sha.
 
     Built as a withColumn chain of NON-cheap aliases on purpose:
     CollapseProject keeps multiply-referenced expensive aliases
-    materialized, so ``tokens`` and ``tok_hashes`` are evaluated once per
-    row even though four downstream columns consume them."""
+    materialized, so ``tokens`` is evaluated once per row even though
+    three downstream columns consume it."""
     df = df.withColumn("norm_content", norm_content(F.col(content_col)))
     df = df.withColumn("tokens", tokens(F.col("norm_content"), min_len))
-    df = df.withColumn("tok_hashes", F.transform("tokens", lambda t: F.xxhash64(t)))
-    df = df.withColumn("skel_hashes", skeleton_hashes(F.col("tokens"), F.col("tok_hashes")))
     return (
-        df.withColumn("shingles", shingle_hashes_from_hashes(F.col("tok_hashes"), k))
-        .withColumn(
-            "skeleton_shingles", shingle_hashes_from_hashes(F.col("skel_hashes"), k + 1)
-        )
-        .withColumn("token_set", F.array_sort(F.array_distinct("tok_hashes")))
+        df.withColumn("tok_hashes", F.transform("tokens", lambda t: F.xxhash64(t)))
+        .withColumn("fixed_mask", fixed_token_mask(F.col("tokens")))
         .withColumn("n_tokens", F.size("tokens"))
         .withColumn("norm_sha", F.sha2("norm_content", 256))
     )

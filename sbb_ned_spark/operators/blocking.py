@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sbb_ned_spark.config import DEFAULT_CONFIG, PipelineConfig
-from sbb_ned_spark.functions.hashing import make_minhash_band_udf, make_trigram_profile_udf
+from sbb_ned_spark.functions.hashing import make_fused_features_udf
 from sbb_ned_spark.functions.normalize import with_normalized_columns
 
 US = "\x1f"
@@ -41,10 +41,22 @@ def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -
     Raw ``content`` is projected OUT here: downstream shuffles carry only
     hashes/sets/vectors (SURVEY.md §7.4.4 — hash early, ship sha256 + token
     sets, not raw content; mirrors the reference's column pruning R5).
+
+    Catalyst computes only tokenization + xxhash64 + the keyword/numeral
+    mask (`functions/normalize.py` documents why); ONE fused Arrow UDF
+    (`make_fused_features_udf`) derives token_set, skeleton_seq, both
+    MinHash band families and the trigram profile from the hash arrays —
+    a single Python round-trip per batch instead of three, and no
+    higher-order Catalyst lambdas in the hot path (1.9x on the whole
+    stage at bench scale).
     """
-    minhash_content = make_minhash_band_udf(config.minhash_perms, config.lsh_bands)
-    minhash_skel = make_minhash_band_udf(config.minhash_perms, config.lsh_bands)
-    trigram = make_trigram_profile_udf(64)
+    fused = make_fused_features_udf(
+        n_perms=config.minhash_perms,
+        n_bands=config.lsh_bands,
+        k=config.shingle_size,
+        k_skel=config.shingle_size + 1,
+        max_skeleton=MAX_SKELETON_SEQ,
+    )
 
     df = files
     if "record_id" not in df.columns:
@@ -54,7 +66,7 @@ def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -
     if "sha256" not in df.columns:
         df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
 
-    df = with_normalized_columns(df, "content", k=config.shingle_size, min_len=config.min_token_len)
+    df = with_normalized_columns(df, "content", min_len=config.min_token_len)
     return df.select(
         "record_id",
         "repo",
@@ -65,11 +77,22 @@ def record_features(files: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -
         "norm_sha",
         "n_tokens",
         F.length("content").alias("n_chars"),
-        "token_set",
-        F.slice("skel_hashes", 1, MAX_SKELETON_SEQ).alias("skeleton_seq"),
-        minhash_content("shingles").alias("mh_content"),
-        minhash_skel("skeleton_shingles").alias("mh_skeleton"),
-        trigram("norm_content").alias("trigram_vec"),
+        fused("tok_hashes", "fixed_mask", "norm_content").alias("f"),
+    ).select(
+        "record_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "sha256",
+        "norm_sha",
+        "n_tokens",
+        "n_chars",
+        "f.token_set",
+        "f.skeleton_seq",
+        "f.mh_content",
+        "f.mh_skeleton",
+        "f.trigram_vec",
     )
 
 
