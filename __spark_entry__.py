@@ -8,7 +8,7 @@ blocking/decide core applied to driver data).
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
 family, similarity search, text analysis, multimodal decode/plumbing).
-63 queries, 62 with full DuckDB value oracles (er_clusters, the full ER
+65 queries, 64 with full DuckDB value oracles (er_clusters, the full ER
 pipeline, is the one rows-only entry); the dict is ORDERED so the
 driver's 50-query cap covers this round's changed entries first.
 Every aggregate/computed column is aliased identically in the Spark
@@ -818,6 +818,35 @@ def q_p10_context_rerank(spark, sf):
     )
 
 
+def q_p8_first_word_filter(spark, sf):
+    # P8: redirect-first-word exclusion (`sentence_lookup.py:52`,
+    # `index.py:645`): drop documents whose FIRST token is a redirect/
+    # listing marker word
+    d = _t(spark, sf, "documents")
+    first = F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 1)
+    return d.withColumn("first_word", first).filter(
+        ~F.col("first_word").isin("the", "liste", "redirect")
+    ).select("doc_id", "first_word")
+
+
+def q_a8_grouped_assembly(spark, sf):
+    # A8: grouped assembly — per-group ordered id list (the reference's
+    # per-mention candidate-list assembly, `sentence_lookup.py:124-135`):
+    # deterministic order via array_sort over (date, key) structs
+    o = _t(spark, sf, "orders")
+    assembled = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+        ).alias("ordered"),
+        F.count("*").alias("n_orders"),
+    )
+    return assembled.select(
+        "o_custkey",
+        F.transform("ordered", lambda s: s["o_orderkey"]).alias("order_keys"),
+        "n_orders",
+    )
+
+
 def q_p10_temporal_rerank(spark, sf):
     # P10 temporal path (`index.py:116-197`: not-after filter + age decay,
     # the reference's __CONTEXT__ temporal flow): per customer, re-rank
@@ -930,6 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_translate": q_f4_translate,
         "f7_string_predicates": q_f7_string_predicates,
         "f14_sha2": q_f14_sha2,
+        # --- promoted from partial this round (driver-checked next rotation;
+        # covered now by the local sf0.01 oracle replica) ------------------
+        "p8_first_word_filter": q_p8_first_word_filter,
+        "a8_grouped_assembly": q_a8_grouped_assembly,
     }
 
 
@@ -1310,6 +1343,18 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY rerank_score DESC, s_suppkey ASC) AS ctx_rank
               FROM cand)
             WHERE ctx_rank <= 3""",
+        "p8_first_word_filter": f"""
+            SELECT doc_id, first_word FROM (
+              SELECT doc_id,
+                     list_extract(string_split_regex(lower(trim(text)), '\\s+'), 1)
+                       AS first_word
+              FROM documents)
+            WHERE first_word NOT IN ('the', 'liste', 'redirect')""",
+        "a8_grouped_assembly": """
+            SELECT o_custkey,
+                   ARRAY_AGG(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey""",
         "p10_temporal_rerank": """
             WITH ext AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
             cand AS (
