@@ -101,10 +101,18 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
 
     Four key families (the Annoy mapping `(ann_index -> page_title)`
     analog, `index.py:545-579`):
-      sha          exact content duplicate
-      nsha         whitespace/comment-insensitive duplicate
-      mh:<band>    MinHash band over token shingles
-      mhs:<band>   MinHash band over skeleton shingles (rename-invariant)
+      sha   exact content duplicate
+      nsha  whitespace/comment-insensitive duplicate
+      mh    MinHash band over token shingles (band index mixed in)
+      mhs   MinHash band over skeleton shingles (rename-invariant)
+
+    ``key`` is a 64-bit xxhash64 of (family tag, band index, band value)
+    — NOT a formatted string: the posting table is the pipeline's
+    dominant shuffle (SCALE.md: ~66 keys/record), and an 8-byte fixed
+    key shuffles/compares/aggregates ~3x leaner than a ~25-byte string.
+    A 64-bit key collision merges two unrelated blocks; the pair it can
+    admit is then exactly-verified by Stage-2 scoring, so collisions
+    cost noise, never correctness.
     """
     # Single-pass: build array<struct<key,key_kind>> and explode ONCE. A
     # 4-way union of selects over `features` would replay the upstream
@@ -115,16 +123,16 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
 
     key_structs = F.concat(
         F.array(
-            kk(F.concat(F.lit("sha:"), F.col("sha256")), "sha"),
-            kk(F.concat(F.lit("nsha:"), F.col("norm_sha")), "nsha"),
+            kk(F.xxhash64(F.lit("sha"), F.col("sha256")), "sha"),
+            kk(F.xxhash64(F.lit("nsha"), F.col("norm_sha")), "nsha"),
         ),
         F.transform(
             "mh_content",
-            lambda h, i: kk(F.concat_ws(":", F.lit("mh"), i, h), "minhash_band"),
+            lambda h, i: kk(F.xxhash64(F.lit("mh"), i, h), "minhash_band"),
         ),
         F.transform(
             "mh_skeleton",
-            lambda h, i: kk(F.concat_ws(":", F.lit("mhs"), i, h), "minhash_skeleton_band"),
+            lambda h, i: kk(F.xxhash64(F.lit("mhs"), i, h), "minhash_skeleton_band"),
         ),
     )
     return features.select(
@@ -174,7 +182,7 @@ def candidate_pairs(
         left.join(right, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_keys"), F.min("key").alias("key"))
+        .agg(F.count("*").alias("n_shared_keys"))
     )
     # evidence floor: true near-dups share many band keys (j^rows_per_band
     # per band over many bands); singleton collisions are noise. This is
