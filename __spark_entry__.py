@@ -8,7 +8,7 @@ blocking/decide core applied to driver data).
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
 family, similarity search, text analysis, multimodal decode/plumbing).
-65 queries, 64 with full DuckDB value oracles (er_clusters, the full ER
+66 queries, 65 with full DuckDB value oracles (er_clusters, the full ER
 pipeline, is the one rows-only entry); the dict is ORDERED so the
 driver's 50-query cap covers this round's changed entries first.
 Every aggregate/computed column is aliased identically in the Spark
@@ -818,6 +818,20 @@ def q_p10_context_rerank(spark, sf):
     )
 
 
+def q_p3_flag_filter(spark, sf):
+    # P3: boolean-flag filter — compute flags, then filter ON the flag
+    # column (the reference's drop-by-computed-flag shape, `index.py:539`)
+    p = _t(spark, sf, "part")
+    flagged = p.select(
+        "p_partkey",
+        "p_name",
+        (F.length("p_name").between(4, 12) & ~F.col("p_name").rlike(r"[0-9]")).alias(
+            "name_ok"
+        ),
+    )
+    return flagged.filter(F.col("name_ok")).select("p_partkey", "p_name")
+
+
 def q_p8_first_word_filter(spark, sf):
     # P8: redirect-first-word exclusion (`sentence_lookup.py:52`,
     # `index.py:645`): drop documents whose FIRST token is a redirect/
@@ -959,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_translate": q_f4_translate,
         "f7_string_predicates": q_f7_string_predicates,
         "f14_sha2": q_f14_sha2,
+        "p3_flag_filter": q_p3_flag_filter,
         # --- promoted from partial this round (driver-checked next rotation;
         # covered now by the local sf0.01 oracle replica) ------------------
         "p8_first_word_filter": q_p8_first_word_filter,
@@ -1343,6 +1358,13 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY rerank_score DESC, s_suppkey ASC) AS ctx_rank
               FROM cand)
             WHERE ctx_rank <= 3""",
+        "p3_flag_filter": """
+            SELECT p_partkey, p_name FROM (
+              SELECT p_partkey, p_name,
+                     (LENGTH(p_name) BETWEEN 4 AND 12)
+                       AND NOT regexp_matches(p_name, '[0-9]') AS name_ok
+              FROM part)
+            WHERE name_ok""",
         "p8_first_word_filter": f"""
             SELECT doc_id, first_word FROM (
               SELECT doc_id,
