@@ -73,9 +73,13 @@ class PipelineConfig:
     decision_threshold: float = 0.62
     cc_max_iterations: int = 25
     cc_checkpoint_every: int = 1      # checkpoint() each CC iteration
-    # convergence fingerprints are driver barriers; check every 2nd round
-    # (a converged round is cheap, a barrier is pure latency)
-    cc_fingerprint_every: int = 2
+    # convergence fingerprint cadence. Round 2 set this to 2 assuming a
+    # converged star round is cheaper than a driver barrier; measured at
+    # bench4/8-cores (round 3, interleaved) the opposite holds: each star
+    # round is 4-5 small shuffles, so checking every round stops at the
+    # true convergence point (typically 2 rounds post-collapse) instead
+    # of overshooting to 4 — clusters stage 33.6s -> 23.9/24.8s.
+    cc_fingerprint_every: int = 1
 
     # --- execution ------------------------------------------------------------
     shuffle_partitions: int = 32

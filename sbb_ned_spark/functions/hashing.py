@@ -131,11 +131,17 @@ def make_fused_features_udf(
         return h.astype(np.int64).tolist()
 
     @F.pandas_udf(
-        "token_set array<bigint>, skeleton_seq array<bigint>, "
+        "token_set array<int>, skeleton_seq array<int>, "
         "mh_content array<bigint>, mh_skeleton array<bigint>, "
         "trigram_vec array<float>"
     )
     def fused(th_s: pd.Series, mask_s: pd.Series, nc_s: pd.Series) -> pd.DataFrame:
+        # token_set / skeleton_seq ship as 32-bit truncations of the token
+        # hashes: these columns only feed Stage-2's set/sequence similarity
+        # kernels, where a 32-bit in-pair collision shifts one jaccard by
+        # ~1/|set| with probability ~|set|^2/2^32 — far below the decision
+        # band — while HALVING the dominant pairs-join shuffle payload.
+        # The MinHash/gram computation stays on the full 64-bit hashes.
         tok_sets, skels, mhc, mhs, trigs = [], [], [], [], []
         for th, mask, nc in zip(th_s, mask_s, nc_s):
             if th is None or len(th) == 0:
@@ -147,8 +153,12 @@ def make_fused_features_udf(
                 u = np.asarray(th, dtype=np.int64).astype(np.uint64)
                 m = np.asarray(mask, dtype=bool)
                 skel = np.where(m, u, _ID_HASH)
-                tok_sets.append(np.unique(u.astype(np.int64)).tolist())
-                skels.append(skel[:max_skeleton].astype(np.int64).tolist())
+                tok_sets.append(
+                    np.unique((u & _MASK32).astype(np.int64)).astype(np.int32)
+                )
+                skels.append(
+                    (skel[:max_skeleton] & _MASK32).astype(np.int64).astype(np.int32)
+                )
                 mhc.append(band_sig(grams(u, k)))
                 mhs.append(band_sig(grams(skel, k_skel)))
             trigs.append(_trigram_counts(nc, trigram_dim))
