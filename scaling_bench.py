@@ -89,6 +89,7 @@ def run(cpus: int, scale: str, mode: str = "local") -> None:
     out = {
         "cpus": cpus,
         "mode": mode,
+        "affinity_cores": len(os.sched_getaffinity(0)),
         "scale": scale,
         "n_files": n_files,
         "wall_sec": round(wall, 3),
@@ -146,7 +147,28 @@ def main() -> int:
         choices=["local", "cluster"],
         help="local = threads in one JVM; cluster = local-cluster executor JVMs",
     )
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="pin the WHOLE process tree (JVM task threads + pandas-UDF "
+        "Python workers + GC) to exactly --cpus physical cores via "
+        "taskset. Unpinned local[N] understates cluster efficiency: "
+        "Python UDF workers are separate PROCESSES, so local[1] really "
+        "consumes ~2 cores of this 32-core box while a real 1-core "
+        "executor shares one core with its worker. Pinning is the "
+        "faithful N-core-executor rendition.",
+    )
     args = ap.parse_args()
+    if args.cmd == "run" and args.pin:
+        have = sorted(os.sched_getaffinity(0))
+        if len(have) > args.cpus:
+            cores = ",".join(str(c) for c in have[: args.cpus])
+            os.execvp(
+                "taskset",
+                ["taskset", "-c", cores, sys.executable, __file__, "run",
+                 "--cpus", str(args.cpus), "--scale", args.scale,
+                 "--mode", args.mode, "--pin"],
+            )
     if args.cmd == "prepare":
         prepare(args.scale)
     elif args.cmd == "run":

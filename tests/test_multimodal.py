@@ -54,6 +54,16 @@ def test_poison_blobs_decode_to_none():
     assert mm.decode_blob(b"RIFFxxxx", "audio") == (None, None, None)
 
 
+def test_wav_truncated_mid_fmt_raises_valueerror_not_struct_error():
+    """Contract (ADVICE r2): decode_wav_header raises ValueError for ANY
+    malformed blob — a blob truncated between the fmt guard (pos+16) and
+    the byte-rate read (pos+20) must not escape as struct.error."""
+    full = _wav(8000)
+    for cut in (29, 30, 31):  # fmt chunk starts at 12; byte rate at 28..31
+        with pytest.raises(ValueError):
+            mm.decode_wav_header(full[:cut])
+
+
 def test_video_kind_is_the_declared_stub():
     # full container decode is the documented NotImplementedError slot
     with pytest.raises(NotImplementedError):
