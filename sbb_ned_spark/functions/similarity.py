@@ -99,9 +99,11 @@ def batch_set_intersections(ts_a, ts_b, n: int):
 
     Sort-based: concatenate both sides tagged with the pair index; a
     (pair, value) appearing twice is in the intersection. O(N log N) numpy
-    over the whole batch — no per-row loop."""
-    va, la, ia = _ragged(ts_a, n)
-    vb, lb, ib = _ragged(ts_b, n)
+    over the whole batch — no per-row loop. Token sets arrive as int32
+    truncated hashes (hashing.make_fused_features_udf); sorting the
+    4-byte values directly halves the bandwidth of the dominant lexsort."""
+    va, la, ia = _ragged(ts_a, n, dtype=np.uint32)
+    vb, lb, ib = _ragged(ts_b, n, dtype=np.uint32)
     if len(va) == 0 or len(vb) == 0:
         return np.zeros(n, dtype=np.int64), la, lb
     idx = np.concatenate([ia, ib])
@@ -116,11 +118,14 @@ def batch_set_intersections(ts_a, ts_b, n: int):
 def _bigrams(vals: np.ndarray, idx: np.ndarray, lens: np.ndarray, n: int):
     """Positional bigram multiset per row from ragged sequences; rows of
     length 1 contribute their single element so short sequences are not
-    empty. uint64 wraparound arithmetic (well-defined in numpy)."""
+    empty. Unsigned wraparound arithmetic in the input's own dtype
+    (well-defined in numpy; the shifted-XOR gram keeps its quality at
+    32 bits)."""
     if len(vals) == 0:
         return vals, np.zeros(0, dtype=np.int64)
     adj = idx[1:] == idx[:-1]
-    bg = (vals[:-1][adj] << np.uint64(1)) ^ vals[1:][adj]
+    one = vals.dtype.type(1)
+    bg = (vals[:-1][adj] << one) ^ vals[1:][adj]
     bg_idx = idx[:-1][adj]
     singles = lens == 1
     if singles.any():
@@ -159,8 +164,8 @@ def batch_seq_ratio_estimate(sk_a, sk_b, n: int):
     """Bigram-multiset indel similarity 2·|G_a ∩ G_b| / (|G_a| + |G_b|) —
     the whole-batch estimate of difflib's 2M/(la+lb) ratio over hashed
     skeleton sequences. Exact at 1.0 for identical sequences."""
-    va, la, ia = _ragged(sk_a, n)
-    vb, lb, ib = _ragged(sk_b, n)
+    va, la, ia = _ragged(sk_a, n, dtype=np.uint32)
+    vb, lb, ib = _ragged(sk_b, n, dtype=np.uint32)
     ga_vals, ga_idx = _bigrams(va, ia, la, n)
     gb_vals, gb_idx = _bigrams(vb, ib, lb, n)
     ga = np.where(la > 0, np.maximum(la - 1, 1), 0)
