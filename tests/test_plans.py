@@ -74,3 +74,26 @@ def test_scoring_uses_arrow_map_not_python_udf(spark, tiny_files):
     plan = _formatted(spark, scoring.score_pairs(pairs, feats, cfg))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python would show here
+
+
+def test_ann_near_dup_plan_is_bucket_join_not_cartesian(spark):
+    """The near-dup scale path must be an equi-join on (table, bucket)
+    with Arrow-batched bucketing — never a cross join, never row-at-a-
+    time Python — and the pair-dedup exchange must ship bare ids, not
+    embedding arrays."""
+    plan = _formatted(spark, em.queries()["embedding_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(id_a" in line:
+            assert "va" not in line and "vb" not in line, line
+
+
+def test_minhash_lsh_posting_computed_once(spark):
+    """The slim posting table is localCheckpoint'ed before the self-join:
+    the operator's plan reads the materialized RDD on both sides instead
+    of replaying the MinHash UDF lineage per side."""
+    plan = _formatted(spark, em.queries()["dedup_minhash_lsh"](spark, SF))
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan  # UDF lineage lives behind the checkpoint
