@@ -8,9 +8,10 @@ blocking/decide core applied to driver data).
 SURVEY.md §2 (ids in the names: s*/p*/j*/a*/w*/o*/u*/f* map to the
 operator inventory), plus the training-data-pipeline operators (dedup
 family, similarity search, text analysis, multimodal decode/plumbing).
-66 queries, 65 with full DuckDB value oracles (er_clusters, the full ER
-pipeline, is the one rows-only entry); the dict is ORDERED so the
-driver's 50-query cap covers this round's changed entries first.
+Every query has a full DuckDB value oracle — including er_clusters, the
+full ER pipeline, whose oracle is the planted tiny-fixture ground truth
+as a VALUES table; the dict is ORDERED so the driver's 50-query cap
+covers never-checked and changed entries first.
 Every aggregate/computed column is aliased identically in the Spark
 plan and the DuckDB oracle.
 """
@@ -39,12 +40,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cat = _CATALOGS.get(sf_dir)
     if cat is None:
         cat = _CATALOGS[sf_dir] = get_catalog(spark, sf_dir)
-    # driver testdata is single-row-group parquet -> 1 scan partition; the
-    # guard fans small scans out to cluster parallelism (no-op at scale,
-    # where scans arrive with thousands of splits)
-    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
-
-    return ensure_min_parallelism(cat.read_table(spark, name))
+    # NO unconditional fan-out repartition here: for pure-native queries
+    # the extra shuffle costs more than the single-threaded scan it fixes
+    # (measured r2->r3: a1/s2/j3/ann_bruteforce regressed 35-46%). The
+    # Arrow-UDF operators (dedup, similarity_search, multimodal) call
+    # ensure_min_parallelism at their own entry points, where the fan-out
+    # pays for the expensive narrow stage that follows.
+    return cat.read_table(spark, name)
 
 
 # ---------------------------------------------------------------------------
@@ -898,15 +900,47 @@ def q_er_clusters(spark, sf):
     return res.clusters.select("record_id", "cluster_id")
 
 
+def _er_clusters_oracle_sql() -> str:
+    """VALUE oracle for the full ER pipeline: the PLANTED ground truth of
+    the tiny fixture as a VALUES table. ``memberships.entity_id`` is the
+    min record id of each planted cluster (FIXTURES.md §3,
+    `fixtures.py:generate_files_pdf`), and the engine's cluster labels are
+    min-record-id by construction (`operators/clustering.py:12-15`), so
+    planted truth == expected engine output whenever clustering is exact —
+    which the tiny/small exact-cluster equality pytest gates enforce
+    independently. Derived from the generator, NOT from running the
+    engine: a clustering regression mismatches here instead of being
+    silently re-pinned."""
+    from sbb_ned_spark import fixtures
+
+    _, members = fixtures.generate_files_pdf("tiny")
+    rows = ",".join(
+        f"('{r.record_id}','{r.entity_id}')"
+        for r in members.sort_values("record_id").itertuples()
+    )
+    return (
+        "SELECT record_id, cluster_id FROM (VALUES "
+        + rows
+        + ") t(record_id, cluster_id)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries per round.
-    # Round-3 priority: everything CHANGED this round (haversine clamp,
-    # tau-derived ANN + new oracles, new temporal rerank, retuned
-    # dedup_minhash_lsh) plus round-2's newly-green block; long-green
-    # trivial basics rotate to the tail (all were green in rounds 1-2 and
-    # stay covered by the local oracle replica at sf0.01).
+    # Round-4 priority: the three entries that had NEVER had a driver row
+    # (p3/p8/a8, formerly below the cap), er_clusters with its first value
+    # oracle, then rounds 2-3's changed blocks; long-green trivial basics
+    # rotate to the tail (green in earlier rounds and re-verified every
+    # session by the local sf0.01 oracle replica, tests/test_entry_oracle).
     return {
-        # --- changed this round ------------------------------------------------
+        # --- never driver-checked before round 4 (were at positions 64-66,
+        # below the 50-query cap — VERDICT r3 ask #1) ----------------------
+        "p3_flag_filter": q_p3_flag_filter,
+        "p8_first_word_filter": q_p8_first_word_filter,
+        "a8_grouped_assembly": q_a8_grouped_assembly,
+        # --- first VALUE oracle this round (was the one rows-only entry) --
+        "er_clusters": q_er_clusters,
+        # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
         "embedding_near_dup": q_embedding_near_dup,
@@ -915,7 +949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "f9_haversine": q_f9_haversine,
-        "er_clusters": q_er_clusters,
         # --- green since round 2 ------------------------------------------------
         "w5_session_renumber": q_w5_session_renumber,
         "dedup_simhash": q_dedup_simhash,
@@ -973,11 +1006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_translate": q_f4_translate,
         "f7_string_predicates": q_f7_string_predicates,
         "f14_sha2": q_f14_sha2,
-        "p3_flag_filter": q_p3_flag_filter,
-        # --- promoted from partial this round (driver-checked next rotation;
-        # covered now by the local sf0.01 oracle replica) ------------------
-        "p8_first_word_filter": q_p8_first_word_filter,
-        "a8_grouped_assembly": q_a8_grouped_assembly,
     }
 
 
@@ -1450,7 +1478,12 @@ def oracle_sql() -> dict[str, str]:
     # verified superset of the true top-k on the driver fixtures (pinned
     # by pytest recall gates at sf0.001/0.01/0.1), and the exact re-rank
     # makes the output identical to brute force — so the brute-force SQL
-    # IS its oracle
+    # IS its oracle. NOTE the operator's contract is probabilistic
+    # (per-pair recall >= 0.995); exact equality is an EMPIRICAL pin at
+    # the current fixture scales/seeds. If the driver fixtures or the LSH
+    # seed ever change, re-run tests/test_similarity_and_text.py's recall
+    # gates and re-verify equality before trusting this oracle — a
+    # mismatch there is a re-pin requirement, not necessarily a code bug.
     sql["ann_lsh_topk"] = sql["ann_bruteforce_topk"]
     # embedding_near_dup: recall derived from tau (>= 0.995 for a pair AT
     # tau; better above), verified exact at the fixture scales -> the
@@ -1462,7 +1495,9 @@ def oracle_sql() -> dict[str, str]:
                                               b.embedding::DOUBLE[]), 6) AS cosine
           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5"""
-    # deliberately rows-only (full-pipeline): er_clusters
+    # full-pipeline value oracle: the planted tiny-fixture ground truth
+    # (every contract entry is now value-checkable; r3 ask #2)
+    sql["er_clusters"] = _er_clusters_oracle_sql()
     sql["text_language_id"] = _LANGID_SQL
     sql["text_quality"] = _QUALITY_SQL
     return sql

@@ -97,6 +97,10 @@ def hyperplane_lsh_params(
     found with probability >= ``target_recall``: the most selective plane
     count whose required table count fits ``max_tables``."""
     p = 1.0 - math.acos(min(max(min_cos, -1.0), 1.0)) / math.pi
+    if p <= 0.0:
+        # min_cos = -1: opposite vectors never share a bucket under any
+        # plane — the widest bucketing is the only honest answer
+        return 1, max_tables
     for b in range(16, 0, -1):
         pb = p**b
         if pb >= 1.0:
@@ -188,8 +192,12 @@ def lsh_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # no explicit broadcast hint on the re-rank joins: the query-vector
+    # table is only broadcast-safe when |Q| is small, and this is the
+    # documented scale path — AQE picks broadcast at runtime when the
+    # side's actual size fits autoBroadcastJoinThreshold
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
         .withColumn("cosine", F.round(_cosine_expr("qv", "nv"), 6))
     )

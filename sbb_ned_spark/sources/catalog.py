@@ -72,11 +72,23 @@ class ParquetCatalog:
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         # bare table names resolve to `<root>/<name>` (checkpoint dirs) or
         # `<root>/<name>.parquet` (driver testdata files) — callers address
-        # tables by NAME only; the storage layout is the catalog's concern
+        # tables by NAME only; the storage layout is the catalog's concern.
+        # os.path probing only works for local roots; on an object-store
+        # root (s3a://, hdfs://) try the bare path and fall back to the
+        # `.parquet` layout on analysis failure instead.
         p = self._path(name)
-        if not os.path.exists(p) and os.path.exists(p + ".parquet"):
-            p = p + ".parquet"
-        return spark.read.parquet(p)
+        if self._is_local():
+            if not os.path.exists(p) and os.path.exists(p + ".parquet"):
+                p = p + ".parquet"
+            return spark.read.parquet(p)
+        try:
+            return spark.read.parquet(p)
+        except Exception:
+            return spark.read.parquet(p + ".parquet")
+
+    def _is_local(self) -> bool:
+        scheme = self.root.split("://", 1)[0] if "://" in self.root else ""
+        return scheme in ("", "file")
 
     def write_table(
         self, df: DataFrame, name: str, mode: str = "overwrite", partition_by: tuple = ()
