@@ -42,7 +42,10 @@ def main() -> int:
     }
     print(json.dumps(out, sort_keys=True))
     spark.stop()
-    return 0 if quality["f1"] >= 0.99 else 1
+    # recall floor 0.997: the stated recall budget (tests/test_pipeline.py
+    # RECALL_FLOOR) — a speed-driven band/hash change may not spend margin
+    # below it even while F1 still clears the 0.99 gate
+    return 0 if quality["f1"] >= 0.99 and quality["recall"] >= 0.997 else 1
 
 
 if __name__ == "__main__":

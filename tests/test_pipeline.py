@@ -187,3 +187,50 @@ def test_no_per_row_python_udfs():
         assert "F.udf(" not in src, py
         assert ".rdd.map" not in src, py
         assert "@udf" not in src, py
+
+
+# ---------------------------------------------------------------------------
+# Recall budget (VERDICT r3 ask #5): two rounds of speed-driven hash/band
+# changes spent bench recall 0.99905 -> 0.99814 against the 0.99 gate.
+# Pin an explicit floor so the NEXT cost cut that eats margin fails loudly
+# at commit time instead of shipping.
+# ---------------------------------------------------------------------------
+
+RECALL_FLOOR = 0.997
+
+
+def test_lsh_band_recall_analytic_floor():
+    """The (bands, rows) configuration must keep the analytic band-recall
+    of a pair at the design jaccard (0.8, the near-dup regime the labeled
+    positives inhabit) above the recall floor: recall = 1-(1-j^r)^b.
+    Halving bands again (16 -> 8 at r=4 gives 0.985) trips this before
+    any fixture run does."""
+    cfg = PipelineConfig()
+    r = cfg.minhash_perms // cfg.lsh_bands
+    j = 0.8
+    band_recall = 1.0 - (1.0 - j**r) ** cfg.lsh_bands
+    assert band_recall >= RECALL_FLOOR, (
+        f"bands={cfg.lsh_bands} rows={r}: analytic recall {band_recall:.5f} "
+        f"< floor {RECALL_FLOOR} — re-negotiate the recall budget before "
+        "shipping this blocking config"
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_BENCH_QUALITY") != "1",
+    reason="bench-scale (117k files, ~3 min): opt in with SPARK_GRAFT_BENCH_QUALITY=1",
+)
+def test_bench_recall_floor(spark):
+    """Measured floor at bench scale — the number VERDICT r3 tracked
+    (0.99814 after the fused-hash change). quality_check.py enforces the
+    same floor in its exit code for the per-round harness."""
+    from sbb_ned_spark import fixtures
+
+    files = fixtures.load_files_df(spark, "bench")
+    res = P.run_pipeline(files, PipelineConfig(), light=True)
+    _, members = fixtures.generate_files_pdf("bench")
+    labeled = spark.createDataFrame(fixtures.generate_labeled_pairs_pdf(members))
+    q = P.pairwise_f1(res.clusters, labeled)
+    res.unpersist_all()
+    assert q["recall"] >= RECALL_FLOOR, q
+    assert q["f1"] >= 0.99, q
