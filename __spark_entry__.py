@@ -775,7 +775,7 @@ def q_multimodal_features(spark, sf):
 
 
 def q_multimodal_decode(spark, sf):
-    # REAL header decode end-to-end: Catalyst-encoded PNG/WAV bytes ->
+    # REAL header decode end-to-end: Catalyst-encoded PNG/WAV/MP4 bytes ->
     # struct-parsed width/height/duration; the oracle recomputes the
     # planted dimensions arithmetically
     from sbb_ned_spark.operators import multimodal as mm
@@ -1435,11 +1435,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "multimodal_decode": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 44 END AS INTEGER) AS n_bytes,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 512 END AS INTEGER) AS width,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 384 END AS INTEGER) AS height,
-                   CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 5000 END AS INTEGER)
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 33
+                                        WHEN 1 THEN 44
+                                        ELSE 132 END AS INTEGER) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 512 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 384 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 5000
+                             WHEN doc_id % 3 = 2 THEN 1 + doc_id % 9000 END AS INTEGER)
                        AS duration_ms
             FROM documents""",
     }

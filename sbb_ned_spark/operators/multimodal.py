@@ -4,10 +4,10 @@ The Spark-side plumbing — schema, partitioning, Arrow batch shape through
 mapInPandas — is real and tested. Decoding comes in two tiers:
 
 - **real header decode** (:func:`decode_blob`): pure-stdlib ``struct``
-  parsers for PNG (IHDR width/height) and WAV (RIFF fmt/data chunks ->
-  duration). No native codec libraries needed; full pixel/sample decode
-  (the Pillow/ffmpeg slot) stays behind ``NotImplementedError`` for
-  container formats the sandbox can't parse (e.g. video).
+  parsers for PNG (IHDR width/height), WAV (RIFF fmt/data chunks ->
+  duration), and MP4 (ISO BMFF moov/mvhd -> duration). No native codec
+  libraries needed; full pixel/sample/frame decode is the Pillow/ffmpeg
+  seam (``extract_features(stub=False)`` redirects there).
 - **stub decode** (``extract_features(stub=True)``): deterministic fake
   features derived only from the bytes, for plumbing tests.
 
@@ -119,19 +119,77 @@ def decode_wav_header(raw: bytes) -> int:
     return int(data_size * 1000 // byte_rate)
 
 
+def _iter_boxes(raw: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in raw[pos:end].
+    Handles the 64-bit largesize form (size field == 1); stops cleanly on a
+    truncated or nonsense size instead of raising."""
+    while pos + 8 <= end:
+        size = struct.unpack(">I", raw[pos : pos + 4])[0]
+        btype = raw[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", raw[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr:
+            return
+        yield btype, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def decode_mp4_duration(raw: bytes) -> int:
+    """duration_ms from an ISO BMFF (MP4) ``moov``/``mvhd`` box — stdlib
+    only, same struct-walk pattern as the WAV parser. Supports mvhd
+    version 0 (32-bit timescale/duration) and version 1 (64-bit duration);
+    duration_ms = duration * 1000 // timescale."""
+    if len(raw) < 8:
+        raise ValueError("not an MP4")
+    for btype, body, bend in _iter_boxes(raw, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _iter_boxes(raw, body, bend):
+            if ctype != b"mvhd":
+                continue
+            if cend - cbody < 4:
+                raise ValueError("truncated mvhd")
+            version = raw[cbody]
+            if version == 1:
+                # ver/flags(4) + ctime(8) + mtime(8) + timescale(4) + duration(8)
+                if cend - cbody < 32:
+                    raise ValueError("truncated mvhd v1")
+                timescale = struct.unpack(">I", raw[cbody + 20 : cbody + 24])[0]
+                duration = struct.unpack(">Q", raw[cbody + 24 : cbody + 32])[0]
+            else:
+                # ver/flags(4) + ctime(4) + mtime(4) + timescale(4) + duration(4)
+                if cend - cbody < 20:
+                    raise ValueError("truncated mvhd v0")
+                timescale = struct.unpack(">I", raw[cbody + 12 : cbody + 16])[0]
+                duration = struct.unpack(">I", raw[cbody + 16 : cbody + 20])[0]
+            if not timescale:
+                raise ValueError("zero mvhd timescale")
+            return int(duration * 1000 // timescale)
+    raise ValueError("no moov/mvhd box")
+
+
 def decode_blob(raw: bytes, kind: str) -> tuple[int | None, int | None, int | None]:
     """(width, height, duration_ms) via the real header parsers; None fields
     where the modality has no such dimension. Unknown/corrupt blobs decode
     to all-None rather than failing the task (poison rows are expected in a
-    100 TB media corpus). Full pixel/sample decode for containers beyond
-    PNG/WAV (e.g. video) is where PIL/ffmpeg would plug in."""
+    100 TB media corpus). All three modalities have real stdlib parsers
+    (PNG IHDR, WAV RIFF, MP4 mvhd); full pixel/sample/frame decode is
+    where PIL/ffmpeg would plug in (see ``extract_features``)."""
     try:
         if kind == "image":
             w, h = decode_png_header(raw)
             return w, h, None
         if kind == "audio":
             return None, None, decode_wav_header(raw)
-        raise NotImplementedError(f"no pure-python decoder for kind={kind!r}")
+        if kind == "video":
+            return None, None, decode_mp4_duration(raw)
+        raise ValueError(f"unknown media kind={kind!r}")
     except (ValueError, struct.error):
         return None, None, None
 
@@ -145,10 +203,15 @@ def _hex_le32(n: Column) -> Column:
 
 
 def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Deterministic synthetic media table: even ids become minimal valid
-    PNGs (width = 1 + id % 512, height = 1 + id % 384), odd ids become
-    44-byte WAV headers (mono 8-bit 8 kHz, declared data size = 8 * (1 +
-    id % 5000) -> duration exactly (1 + id % 5000) ms).
+    """Deterministic synthetic media table covering all three modalities by
+    ``id % 3``:
+
+    - 0: minimal valid PNG (width = 1 + id % 512, height = 1 + id % 384),
+      33 bytes;
+    - 1: 44-byte WAV header (mono 8-bit 8 kHz, declared data size =
+      8 * (1 + id % 5000) -> duration exactly (1 + id % 5000) ms);
+    - 2: 132-byte MP4 skeleton (ftyp + moov/mvhd v0, timescale 1000,
+      duration 1 + id % 9000 -> duration_ms exactly that).
 
     Encoding is pure Catalyst (hex strings -> unhex), so the real decoders
     in :func:`decode_blob` are verified end-to-end against arithmetic the
@@ -157,6 +220,7 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
     width = (F.lit(1) + i % 512).cast("int")
     height = (F.lit(1) + i % 384).cast("int")
     data_size = ((F.lit(1) + i % 5000) * 8).cast("int")
+    mp4_dur = (F.lit(1) + i % 9000).cast("int")
     png_hex = F.concat(
         F.lit("89504E470D0A1A0A"),        # signature
         F.lit("0000000D49484452"),        # IHDR length=13 + type
@@ -177,13 +241,36 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
         F.lit("64617461"),                # 'data'
         _hex_le32(data_size),             # declared data size
     )
-    is_png = (i % 2) == 0
+    mp4_hex = F.concat(
+        F.lit("0000001066747970"),        # ftyp box, size 16
+        F.lit("69736F6D00000000"),        # major brand 'isom', minor 0
+        F.lit("000000746D6F6F76"),        # moov box, size 116
+        F.lit("0000006C6D766864"),        # mvhd box, size 108
+        F.lit("00000000"),                # version 0 + flags
+        F.lit("0000000000000000"),        # creation + modification time
+        F.lit("000003E8"),                # timescale 1000 (big-endian)
+        F.lpad(F.hex(mp4_dur), 8, "0"),   # duration (big-endian)
+        F.lit("00" * 80),                 # rate/volume/matrix/next-track
+    )
+    kind = i % 3
     return df.select(
         F.col(id_col).cast("string").alias("media_id"),
-        F.when(is_png, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
-        F.unhex(F.when(is_png, png_hex).otherwise(wav_hex)).alias("blob"),
-        F.when(is_png, F.lit("image/png")).otherwise(F.lit("audio/wav")).alias("mime"),
-        F.when(is_png, F.lit(33)).otherwise(F.lit(44)).cast("long").alias("n_bytes"),
+        F.when(kind == 0, F.lit("image"))
+        .when(kind == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.unhex(
+            F.when(kind == 0, png_hex).when(kind == 1, wav_hex).otherwise(mp4_hex)
+        ).alias("blob"),
+        F.when(kind == 0, F.lit("image/png"))
+        .when(kind == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.when(kind == 0, F.lit(33))
+        .when(kind == 1, F.lit(44))
+        .otherwise(F.lit(132))
+        .cast("long")
+        .alias("n_bytes"),
     )
 
 

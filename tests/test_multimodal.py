@@ -64,30 +64,73 @@ def test_wav_truncated_mid_fmt_raises_valueerror_not_struct_error():
             mm.decode_wav_header(full[:cut])
 
 
-def test_video_kind_is_the_declared_stub():
-    # full container decode is the documented NotImplementedError slot
-    with pytest.raises(NotImplementedError):
-        mm.decode_blob(b"\x00\x00\x00\x18ftypmp42", "video")
+def _mp4(duration: int, timescale: int = 1000, version: int = 0) -> bytes:
+    if version == 1:
+        mvhd_body = (
+            struct.pack(">I", 1 << 24)           # version 1 + flags
+            + struct.pack(">QQ", 0, 0)           # ctime/mtime (64-bit)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">I", 0)                 # version 0 + flags
+            + struct.pack(">II", 0, 0)           # ctime/mtime
+            + struct.pack(">II", timescale, duration)
+        )
+    mvhd_body += b"\x00" * 80                    # rate/volume/matrix/next-track
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    return ftyp + moov
+
+
+def test_mp4_mvhd_roundtrip():
+    assert mm.decode_mp4_duration(_mp4(2500)) == 2500
+    assert mm.decode_mp4_duration(_mp4(90000, timescale=90000)) == 1000
+    assert mm.decode_mp4_duration(_mp4(7, version=1)) == 7
+    assert mm.decode_blob(_mp4(42), "video") == (None, None, 42)
+
+
+def test_mp4_malformed_raises_valueerror_not_struct_error():
+    full = _mp4(1234)
+    with pytest.raises(ValueError):
+        mm.decode_mp4_duration(b"\x00\x00\x00\x18ftypmp42")  # no moov
+    for cut in (40, 45, 51):  # inside the mvhd fixed fields (end at 52)
+        with pytest.raises(ValueError):
+            mm.decode_mp4_duration(full[:cut])
+    # at exactly the end of the fixed fields the parser trusts the declared
+    # box size (header-only blob contract, same as the WAV data chunk)
+    assert mm.decode_mp4_duration(full[:52]) == 1234
+    with pytest.raises(ValueError):
+        mm.decode_mp4_duration(_mp4(5, timescale=0))
+    assert mm.decode_blob(full[:40], "video") == (None, None, None)
 
 
 def test_spark_encode_decode_end_to_end(spark):
-    df = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    df = spark.range(0, 66).select(F.col("id").alias("doc_id"))
     decoded = mm.decode_features(mm.synthesize_media(df, "doc_id"))
     rows = {r["media_id"]: r for r in decoded.collect()}
-    assert len(rows) == 64
-    for i in range(64):
+    assert len(rows) == 66
+    for i in range(66):
         r = rows[str(i)]
-        if i % 2 == 0:
+        if i % 3 == 0:
             assert r["kind"] == "image"
             assert r["width"] == 1 + i % 512
             assert r["height"] == 1 + i % 384
             assert r["duration_ms"] is None
             assert r["n_bytes"] == 33
-        else:
+        elif i % 3 == 1:
             assert r["kind"] == "audio"
             assert r["duration_ms"] == 1 + i % 5000
             assert r["width"] is None
             assert r["n_bytes"] == 44
+        else:
+            assert r["kind"] == "video"
+            assert r["duration_ms"] == 1 + i % 9000
+            assert r["width"] is None
+            assert r["height"] is None
+            assert r["n_bytes"] == 132
 
 
 def test_stub_features_still_deterministic(spark, tiny_files):
