@@ -889,6 +889,44 @@ def q_p10_temporal_rerank(spark, sf):
     )
 
 
+def q_j10_gt_alignment(spark, sf):
+    # J10: ground-truth alignment join (`clef_hipe_2022.py:378-439`): the
+    # reference re-syncs its system token stream against the gold stream
+    # by dropping marker tokens, renumbering the survivors positionally,
+    # and matching on (doc, aligned position). Declaratively: a running
+    # non-marker count renumbers the system side, a row_number renumbers
+    # the gold side, and ONE equi-join on (doc_id, gpos) aligns them —
+    # no per-token driver loop.
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    markers = ("the", "of", "a")
+    marked = toks.withColumn("is_marker", F.col("token").isin(*markers))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sys_aligned = (
+        marked.withColumn("gpos", F.sum((~F.col("is_marker")).cast("int")).over(w) - 1)
+        .filter(~F.col("is_marker"))
+        .select("doc_id", "pos", "gpos", F.col("token").alias("sys_token"))
+    )
+    gold = (
+        marked.filter(~F.col("is_marker"))
+        .withColumn("gpos", F.row_number().over(w) - 1)
+        .select("doc_id", "gpos", F.col("token").alias("gold_token"))
+    )
+    return sys_aligned.join(gold, ["doc_id", "gpos"]).select(
+        "doc_id",
+        "pos",
+        "gpos",
+        "sys_token",
+        "gold_token",
+        (F.col("sys_token") == F.col("gold_token")).cast("int").alias("aligned"),
+    )
+
+
 def q_er_clusters(spark, sf):
     # the ER core on the synthetic files table (fixtures are deterministic)
     from sbb_ned_spark import fixtures
@@ -940,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_grouped_assembly": q_a8_grouped_assembly,
         # --- first VALUE oracle this round (was the one rows-only entry) --
         "er_clusters": q_er_clusters,
+        # --- NEW this round: J10 retired from partial ---------------------
+        "j10_gt_alignment": q_j10_gt_alignment,
         # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
@@ -1503,6 +1543,31 @@ def oracle_sql() -> dict[str, str]:
     # full-pipeline value oracle: the planted tiny-fixture ground truth
     # (every contract entry is now value-checkable; r3 ask #2)
     sql["er_clusters"] = _er_clusters_oracle_sql()
+    sql["j10_gt_alignment"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_transform({_TOK_ALL},
+                   (t, i) -> struct_pack(pos := i - 1, token := t))) AS s
+          FROM documents),
+        marked AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token,
+                 s.token IN ('the', 'of', 'a') AS is_marker
+          FROM toks),
+        sys_aligned AS (
+          SELECT doc_id, pos, gpos, token AS sys_token FROM (
+            SELECT doc_id, pos, token, is_marker,
+                   SUM(CASE WHEN is_marker THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS gpos
+            FROM marked)
+          WHERE NOT is_marker),
+        gold AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS gpos,
+                 token AS gold_token
+          FROM marked WHERE NOT is_marker)
+        SELECT s.doc_id, s.pos, s.gpos, s.sys_token, g.gold_token,
+               CAST(s.sys_token = g.gold_token AS INT) AS aligned
+        FROM sys_aligned s
+        JOIN gold g ON s.doc_id = g.doc_id AND s.gpos = g.gpos"""
     sql["text_language_id"] = _LANGID_SQL
     sql["text_quality"] = _QUALITY_SQL
     return sql

@@ -183,25 +183,39 @@ def minhash_lsh_pairs(
 
 
 def make_simhash_udf(bits: int = 64):
-    """pandas UDF: array<bigint> token hashes -> bigint SimHash."""
+    """pandas UDF: array<bigint> token hashes -> bigint SimHash.
+
+    Whole-batch kernel (the ragged-bincount pattern of
+    ``functions.similarity.batch_set_intersections``): flatten every row's
+    hashes into one (L, bits) bit matrix, per-row bit votes via ONE
+    ``add.reduceat`` over the row boundaries, majority -> signature via a
+    single weighted sum. Bit b is set iff strictly more than half the
+    tokens have bit b set (2*ones > len), identical to the +1/-1 vote."""
+    ar = np.arange(bits, dtype=np.uint64)
 
     @F.pandas_udf("long")
     def simhash(tok_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(tok_hashes), dtype=np.int64)
+        n = len(tok_hashes)
+        lens = np.zeros(n, dtype=np.int64)
+        chunks = []
         for i, arr in enumerate(tok_hashes):
             if arr is None or len(arr) == 0:
                 continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bitcols = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bitcols - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(bits):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            lens[i] = a.size
+            chunks.append(a)
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            vals = np.concatenate(chunks)
+            one = np.uint64(1)
+            bit_matrix = ((vals[:, None] >> ar[None, :]) & one).astype(np.int64)
+            nz_lens = lens[nz]
+            starts = np.concatenate([[0], np.cumsum(nz_lens)[:-1]])
+            ones = np.add.reduceat(bit_matrix, starts, axis=0)  # (n_nz, bits)
+            majority = (2 * ones) > nz_lens[:, None]
+            out[nz] = (majority.astype(np.uint64) * (one << ar)).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
 
     return simhash
 
