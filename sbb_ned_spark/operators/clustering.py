@@ -75,6 +75,7 @@ def connected_components(
     edges: DataFrame,
     records: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
+    id_codec: str = "string",
 ) -> DataFrame:
     """clusters(record_id, cluster_id, n_iter) for every record (singletons
     cluster with themselves).
@@ -82,8 +83,21 @@ def connected_components(
     ``records`` needs a ``record_id`` column; ``edges`` needs id_a/id_b.
     Each iteration alternates large-star / small-star and checkpoints to
     cut lineage; convergence = identical (count, hash) edge fingerprint.
+
+    ``id_codec='hex'``: ids are lowercase fixed-width hex digests (the
+    pipeline's sha256 record ids) and the LOOP runs on their 32-byte
+    ``unhex`` binary form — bytewise binary order equals the hex string
+    order, so min-labels are unchanged, while every per-iteration
+    shuffle/sort/checkpoint moves half the bytes and the small tail-round
+    star tables drop under the AQE broadcast threshold sooner. Output ids
+    are hexed back; exact round-trip.
     """
     spark = edges.sparkSession
+    hex_ids = id_codec == "hex"
+    if hex_ids:
+        edges = edges.select(
+            F.unhex("id_a").alias("id_a"), F.unhex("id_b").alias("id_b")
+        )
     # the CC loop runs many small jobs over a shrinking edge set; a large
     # shuffle-partition count would pay per-task scheduling for mostly
     # empty partitions each iteration
@@ -97,11 +111,13 @@ def connected_components(
         )
         # materialize the input once: each star pass consumes its input
         # twice (group-by min + join), which would otherwise re-run the
-        # full scoring lineage on every iteration. eager=False: the
-        # fingerprint action right after is the materializing pass.
+        # full scoring lineage on every iteration. eager=False: the first
+        # fingerprint action is the materializing pass.
         cur = cur.localCheckpoint(eager=False)
         n_iter = 0
-        prev_fp = _edge_fingerprint(cur)
+        # no pre-loop fingerprint: it cost one full driver barrier and only
+        # ever detected the (rare) already-star-form input one round early
+        prev_fp: tuple[int, int] | None = None
         every = max(1, config.cc_fingerprint_every)
         for i in range(config.cc_max_iterations):
             n_iter = i + 1
@@ -131,6 +147,11 @@ def connected_components(
     assignment = member_root.groupBy("record_id").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+    if hex_ids:
+        assignment = assignment.select(
+            F.lower(F.hex("record_id")).alias("record_id"),
+            F.lower(F.hex("cluster_id")).alias("cluster_id"),
+        )
     all_records = records.select("record_id").distinct()
     out = all_records.join(assignment, "record_id", "left").select(
         "record_id",

@@ -260,7 +260,11 @@ def run_pipeline(
     else:
         def build_clusters():
             edges = clustering.accepted_edges(scores, config)
-            rep_clusters = clustering.connected_components(edges, feats, config)
+            # record ids are sha256 hex -> run the CC loop on 32-byte
+            # binary ids (identical ordering, half the shuffle bytes)
+            rep_clusters = clustering.connected_components(
+                edges, feats, config, id_codec="hex"
+            )
             if membership is None:
                 return rep_clusters
             # expand exact-dup members to their representative's cluster;
