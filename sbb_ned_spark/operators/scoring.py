@@ -53,14 +53,22 @@ SCORE_SCHEMA = StructType(
     ]
 )
 
+# columns shipped per pair side through the two scoring joins. sha256 /
+# norm_sha ride as 8-byte xxhash64 SIGS, not 64-char hex strings: the
+# kernel only ever tests EQUALITY, and a 64-bit sig collision (prob
+# ~2^-63 per pair) merely marks one unrelated pair exact — far below the
+# decision noise floor — while cutting ~224 bytes off every pair row of
+# the pipeline's dominant shuffle. `path` is pre-truncated to the Jaro-
+# Winkler kernel's own 64-byte cap (`similarity._JW_MAXL`), so scores
+# are byte-identical.
 _FEATURE_COLS = [
     "token_set",
     "skeleton_seq",
     "trigram_vec",
     "n_tokens",
     "path",
-    "sha256",
-    "norm_sha",
+    "sha_sig",
+    "nsha_sig",
 ]
 
 _TRIGRAM_DIM = 64
@@ -102,7 +110,7 @@ def _score_batch(pdf: pd.DataFrame, config: PipelineConfig) -> pd.DataFrame:
     szr = np.where(hi > 0, np.minimum(nt_a, nt_b) / np.maximum(hi, 1), 1.0)
 
     sha_eq = (
-        (pdf["sha256_a"] == pdf["sha256_b"]) | (pdf["norm_sha_a"] == pdf["norm_sha_b"])
+        (pdf["sha_sig_a"] == pdf["sha_sig_b"]) | (pdf["nsha_sig_a"] == pdf["nsha_sig_b"])
     ).to_numpy()
     exact = sha_eq.astype(np.int32)
 
@@ -152,13 +160,26 @@ def _paired_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
     """Join pair ids with both sides' compact features.
 
     Two shuffle hash joins on record_id (J2 analog `index.py:680-684`);
-    features carry no raw content, so shuffle payload stays small.
+    features carry no raw content — and the wide string columns are
+    narrowed map-side BEFORE the joins (sha/norm_sha to 8-byte sigs,
+    path to the JW kernel's 64-byte cap) so the pair-side shuffles ship
+    the minimum bytes the kernel can consume.
     """
-    fa = features.select(
+    compact = features.select(
+        "record_id",
+        "token_set",
+        "skeleton_seq",
+        "trigram_vec",
+        "n_tokens",
+        F.substring("path", 1, 64).alias("path"),
+        F.xxhash64("sha256").alias("sha_sig"),
+        F.xxhash64("norm_sha").alias("nsha_sig"),
+    )
+    fa = compact.select(
         F.col("record_id").alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in _FEATURE_COLS],
     )
-    fb = features.select(
+    fb = compact.select(
         F.col("record_id").alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in _FEATURE_COLS],
     )
