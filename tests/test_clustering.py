@@ -42,3 +42,31 @@ def test_deterministic_across_runs(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _run(spark, [("a", "b"), ("a", "b"), ("b", "c"), ("a", "c")], list("abc"))
     assert set(got.values()) == {"a"}
+
+
+def test_hex_codec_equals_string_codec(spark):
+    """id_codec='hex' must produce byte-identical clusters to the string
+    path: binary order of unhex(id) == hex string order for fixed-width
+    lowercase hex ids, and the output is hexed back losslessly."""
+    import hashlib
+
+    ids = [hashlib.sha256(bytes([i])).hexdigest() for i in range(24)]
+    s = sorted(ids)
+    # chains, a triangle, reversed/duplicate edges, isolated nodes
+    edges = (
+        [(s[i], s[i + 1]) for i in range(0, 10)]
+        + [(s[12], s[13]), (s[13], s[14]), (s[14], s[12])]
+        + [(s[16], s[15]), (s[16], s[15])]
+    )
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    n = spark.createDataFrame([(x,) for x in s], ["record_id"])
+    base = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(e, n, PipelineConfig()).collect()
+    }
+    hexed = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(e, n, PipelineConfig(), id_codec="hex").collect()
+    }
+    assert base == hexed
+    assert set(base) == set(s)
