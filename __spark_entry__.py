@@ -927,6 +927,49 @@ def q_j10_gt_alignment(spark, sf):
     )
 
 
+def q_f2_dehyphenate(spark, sf):
+    # F2: OCR de-hyphenation (`embeddings/base.py:24-46`: drop the `¬`
+    # line-break marker and re-join the split word). The documents table
+    # has no OCR marks, so the query PLANTS one deterministically (after
+    # the 5th character of every long-enough text) and then removes it —
+    # exercising the real regex machinery end-to-end; `rejoined_ok`
+    # proves the round trip restored the original bytes.
+    d = _t(spark, sf, "documents")
+    marked = F.when(
+        F.length("text") > 5,
+        F.concat(F.substring("text", 1, 5), F.lit("¬\n  "), F.expr("substring(text, 6)")),
+    ).otherwise(F.col("text"))
+    cleaned = F.regexp_replace(marked, "¬\\s*", "")
+    return d.select(
+        "doc_id",
+        F.length(marked).alias("n_marked"),
+        F.length(cleaned).alias("n_cleaned"),
+        (cleaned == F.col("text")).cast("int").alias("rejoined_ok"),
+    )
+
+
+def q_f5_stem(spark, sf):
+    # F5: stemming slot (`webapp/app.py:106-108`: Snowball-stem each
+    # surface part). Model-free rule stemmer: longest-suffix strip of
+    # (ing|edly|ed|es|ly|s) keeping a stem of >= 3 chars — the token
+    # canonicalization is per-token inside a higher-order transform, the
+    # same shape the reference applies per surface part.
+    # capture-group formulation (not lookbehind): DuckDB's RE2 oracle has
+    # no lookbehind, and the non-greedy min-3 prefix is equivalent to
+    # "leftmost suffix with >= 3 chars before it" on both engines
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+    stemmed = F.transform(
+        toks,
+        lambda t: F.regexp_replace(t, "^(.{3,}?)(ing|edly|ed|es|ly|s)$", "$1"),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(stemmed, " ").alias("stemmed_text"),
+        F.size(stemmed).alias("n_tokens"),
+    )
+
+
 def q_er_clusters(spark, sf):
     # the ER core on the synthetic files table (fixtures are deterministic)
     from sbb_ned_spark import fixtures
@@ -978,8 +1021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_grouped_assembly": q_a8_grouped_assembly,
         # --- first VALUE oracle this round (was the one rows-only entry) --
         "er_clusters": q_er_clusters,
-        # --- NEW this round: J10 retired from partial ---------------------
+        # --- NEW this round: J10/F2/F5 retired from partial ----------------
         "j10_gt_alignment": q_j10_gt_alignment,
+        "f2_dehyphenate": q_f2_dehyphenate,
+        "f5_stem": q_f5_stem,
         # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
@@ -1543,6 +1588,26 @@ def oracle_sql() -> dict[str, str]:
     # full-pipeline value oracle: the planted tiny-fixture ground truth
     # (every contract entry is now value-checkable; r3 ask #2)
     sql["er_clusters"] = _er_clusters_oracle_sql()
+    sql["f2_dehyphenate"] = """
+        WITH m AS (
+          SELECT doc_id, text,
+                 CASE WHEN LENGTH(text) > 5
+                      THEN substring(text, 1, 5) || '¬' || chr(10) || '  '
+                           || substring(text, 6)
+                      ELSE text END AS marked
+          FROM documents),
+        c AS (SELECT doc_id, text, marked,
+                     regexp_replace(marked, '¬\\s*', '', 'g') AS cleaned FROM m)
+        SELECT doc_id, LENGTH(marked) AS n_marked, LENGTH(cleaned) AS n_cleaned,
+               CAST(cleaned = text AS INT) AS rejoined_ok
+        FROM c"""
+    sql["f5_stem"] = f"""
+        SELECT doc_id,
+               array_to_string(list_transform({_TOK_ALL},
+                 t -> regexp_replace(t, '^(.{{3,}}?)(ing|edly|ed|es|ly|s)$', '\\1')),
+                 ' ') AS stemmed_text,
+               len({_TOK_ALL}) AS n_tokens
+        FROM documents"""
     sql["j10_gt_alignment"] = f"""
         WITH toks AS (
           SELECT doc_id, unnest(list_transform({_TOK_ALL},

@@ -123,13 +123,13 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decode_for_png_and_wav():
-    # round 2: PNG/WAV header decode is REAL (struct parsers); only full
-    # container decode (video) remains the declared stub
+    # round 2: PNG/WAV header decode is REAL (struct parsers); round 4
+    # added the MP4 moov/mvhd parser, so a poison video blob now decodes
+    # to nulls like every other malformed blob (no stub tier left)
     assert mm.decode_blob(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
                           + (64).to_bytes(4, "big") + (48).to_bytes(4, "big"),
                           "image") == (64, 48, None)
-    with pytest.raises(NotImplementedError):
-        mm.decode_blob(b"bytes", "video")
+    assert mm.decode_blob(b"bytes", "video") == (None, None, None)
 
 
 def test_streaming_windowed_counts(spark, tmp_path):
