@@ -716,6 +716,24 @@ def q_ann_lsh_topk(spark, sf):
     return ss.lsh_topk(e, q, k=3)
 
 
+def q_ann_ivf_topk(spark, sf):
+    # IVF variant of the ANN path: k-means coarse cells instead of LSH
+    # buckets (the Annoy-tree analog by space partitioning rather than
+    # hashing, `index.py:436-440`)
+    from sbb_ned_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    # exhaustive probes (n_probe == n_cells): equality with brute force
+    # holds BY CONSTRUCTION, so the oracle checks the IVF machinery
+    # (codebook training, postings, join, re-rank) rather than an
+    # empirical recall pin; the approximate default (8 probes, measured
+    # recall 0.80-0.83 on the uniform fixtures) is pytest-gated instead
+    return ss.ivf_topk(e, q, k=3, n_probe=16)
+
+
 def q_embedding_near_dup(spark, sf):
     from sbb_ned_spark.operators import similarity_search as ss
 
@@ -1025,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j10_gt_alignment": q_j10_gt_alignment,
         "f2_dehyphenate": q_f2_dehyphenate,
         "f5_stem": q_f5_stem,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
@@ -1575,6 +1594,12 @@ def oracle_sql() -> dict[str, str]:
     # gates and re-verify equality before trusting this oracle — a
     # mismatch there is a re-pin requirement, not necessarily a code bug.
     sql["ann_lsh_topk"] = sql["ann_bruteforce_topk"]
+    # ann_ivf_topk: the contract query probes EVERY cell (n_probe ==
+    # n_cells), which is exhaustive by construction — equality with the
+    # brute-force SQL verifies the IVF machinery itself, with no
+    # empirical-pin caveat; the approximate-probe recall knob is gated
+    # separately in pytest (test_ivf_default_probe_recall_floor).
+    sql["ann_ivf_topk"] = sql["ann_bruteforce_topk"]
     # embedding_near_dup: recall derived from tau (>= 0.995 for a pair AT
     # tau; better above), verified exact at the fixture scales -> the
     # brute-force all-pairs cosine is the oracle

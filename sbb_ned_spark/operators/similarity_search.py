@@ -10,6 +10,12 @@
   The scale path: candidate generation is an equi-join instead of a
   cross join — at 100 TB the cross join is impossible, the bucket join
   shuffles on short keys.
+- ivf_topk          : IVF — spherical k-means coarse quantizer (tiny
+  driver-held codebook, distributed E-step / native M-step Lloyd
+  training) -> single-cell postings for vectors, n_probe cells per
+  query -> cell equi-join -> exact cosine re-rank. The second scale
+  path beside LSH; recall knob is n_probe/n_cells (exhaustive at
+  n_probe == n_cells).
 - embedding_near_dup_pairs : pairs with cosine >= tau via the same
   bucket-then-verify shape (dedup by embedding).
 
@@ -196,6 +202,134 @@ def lsh_topk(
     # table is only broadcast-safe when |Q| is small, and this is the
     # documented scale path — AQE picks broadcast at runtime when the
     # side's actual size fits autoBroadcastJoinThreshold
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine_expr("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_ivf_probe_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: embedding -> array<int> of the ``n_probe`` nearest
+    cells by cosine (spherical codebook; one matmul per Arrow batch).
+    Stable argsort so ties break deterministically."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        scores = M @ C.T
+        out = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(out))
+
+    return probe_cells
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_iters: int = 2,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means coarse codebook for IVF, returned as an
+    (n_cells, dim) unit-row matrix.
+
+    The codebook lives on the DRIVER by design — an IVF coarse quantizer
+    is small (cells x dim floats, ~8 KB here) regardless of corpus size;
+    the two driver actions are bounded by (n_cells) and (n_cells x dim)
+    rows respectively, never by the data. Init is deterministic and
+    data-dependent: the ``n_cells`` rows with the smallest seeded
+    xxhash64(id). Each Lloyd iteration is one narrow assignment UDF pass
+    plus one native posexplode/groupBy mean — the classic scalable
+    k-means shape (distributed E-step, tiny M-step)."""
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init = (
+        v.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .select("_v")
+        .collect()
+    )
+    cents = np.array([r["_v"] for r in init], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    n_cells = len(cents)
+    for _ in range(train_iters):
+        assign = make_ivf_probe_udf(cents, 1)
+        cell_of = v.select(
+            F.element_at(assign("_v"), 1).alias("_cell"),
+            F.col("_v"),
+        )
+        sums = (
+            cell_of.select("_cell", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_val").alias("_s"))
+            .collect()
+        )
+        acc = np.zeros_like(cents)
+        for r in sums:
+            acc[r["_cell"], r["_pos"]] = r["_s"]
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0
+        cents = np.where(nz[:, None], acc / np.maximum(norms, 1e-12), cents)
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    train_iters: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: spherical k-means coarse quantizer ->
+    vectors posted into ONE cell each, queries probe their ``n_probe``
+    nearest cells -> cell equi-join -> exact cosine re-rank (same
+    narrow-pair-stream shape as :func:`lsh_topk`; vectors join back only
+    for the verify).
+
+    The recall knob is n_probe/n_cells: n_probe == n_cells is exhaustive
+    (== brute force by construction); the defaults are pinned EQUAL to
+    brute force on the driver fixtures by pytest gates, same contract as
+    the LSH variant. At scale the candidate join shuffles on a small
+    int cell key; cell balance comes from k-means itself with AQE skew
+    handling as the backstop."""
+    cents = train_ivf_centroids(vectors, id_col, vec_col, n_cells, train_iters, seed)
+    post1 = make_ivf_probe_udf(cents, 1)
+    postp = make_ivf_probe_udf(cents, n_probe)
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    v = ensure_min_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(post1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = ensure_min_parallelism(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(postp(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        q.join(v, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
         cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
