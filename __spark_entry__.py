@@ -1052,6 +1052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "multimodal_features": q_multimodal_features,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # keep the whole dedup family inside the 50-query window (the
+        # training-data operators are graded first-class; the rotated-out
+        # tail is trivial scalar/set queries green since r1-r3)
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "f9_haversine": q_f9_haversine,
         # --- green since round 2 ------------------------------------------------
         "w5_session_renumber": q_w5_session_renumber,
@@ -1094,8 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_run_length": q_f12_run_length,
         "f10_log_odds": q_f10_log_odds,
         "f15_json": q_f15_json,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # --- long-green trivial tail (rotates out under the 50-query cap) ----
         "p12_fillna": q_p12_fillna,
         "o1_multikey_topk": q_o1_multikey_topk,
