@@ -97,3 +97,14 @@ def test_minhash_lsh_posting_computed_once(spark):
     plan = _formatted(spark, em.queries()["dedup_minhash_lsh"](spark, SF))
     assert "Scan ExistingRDD" in plan
     assert "ArrowEvalPython" not in plan  # UDF lineage lives behind the checkpoint
+
+
+def test_ivf_plan_is_cell_join_not_cartesian(spark):
+    """The IVF candidate path must be an equi-join on the int cell key
+    with Arrow-batched probing — no cross join, no row-at-a-time Python
+    (the bounded codebook collect happens at TRAIN time, not in the
+    query plan)."""
+    plan = _formatted(spark, em.queries()["ann_ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
