@@ -95,9 +95,24 @@ def connected_components(
     spark = edges.sparkSession
     hex_ids = id_codec == "hex"
     if hex_ids:
-        edges = edges.select(
-            F.unhex("id_a").alias("id_a"), F.unhex("id_b").alias("id_b")
-        )
+        # LOUD contract guard: an id that is not lowercase even-length hex
+        # would silently round-trip wrong (unhex -> NULL, or uppercase ->
+        # lowercased) and corrupt clusters into singletons; fail the job
+        # with a clear message instead. One native expression per edge.
+        def dec(c: str):
+            b = F.unhex(F.col(c))
+            ok = F.lower(F.hex(b)) == F.col(c)
+            return F.when(ok, b).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("connected_components(id_codec='hex'): id is not "
+                              "lowercase hex: "),
+                        F.col(c),
+                    )
+                )
+            )
+
+        edges = edges.select(dec("id_a").alias("id_a"), dec("id_b").alias("id_b"))
     # the CC loop runs many small jobs over a shrinking edge set; a large
     # shuffle-partition count would pay per-task scheduling for mostly
     # empty partitions each iteration

@@ -309,9 +309,15 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction over media blobs.
 
     The stub derives width/height/duration deterministically from the blob
-    bytes (sha-seeded) so tests can assert exact values; swap
-    ``decode_real`` in when codecs are available.
+    bytes (sha-seeded) so tests can assert exact values; real header
+    decoding lives in :func:`decode_features` (full pixel/sample decode
+    is the PIL/ffmpeg seam).
     """
+    if not stub:
+        # fail fast at PLAN time — raising inside the mapInPandas task
+        # would schedule and burn the whole job before erroring
+        raise NotImplementedError("use decode_features() for real header decoding")
+
     from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
 
     media = ensure_min_parallelism(media)
@@ -323,10 +329,6 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
             shas, widths, heights, durs = [], [], [], []
             for blob, kind in zip(pdf["blob"], pdf["kind"]):
                 raw = bytes(blob) if blob is not None else b""
-                if not stub:  # real decoding lives in decode_features()
-                    raise NotImplementedError(
-                        "use decode_features() for real header decoding"
-                    )
                 digest = hashlib.sha256(raw).hexdigest()
                 shas.append(digest)
                 seed = int(digest[:8], 16)

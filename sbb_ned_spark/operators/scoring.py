@@ -165,6 +165,16 @@ def _paired_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
     path to the JW kernel's 64-byte cap) so the pair-side shuffles ship
     the minimum bytes the kernel can consume.
     """
+    # null-safe sigs: xxhash64(NULL) is the constant seed for EVERY row,
+    # which would mark any two null-sha records exact; a null hash gets a
+    # per-record sig (salted differently per column) so it never equals
+    # anything — matching string-equality semantics where NULL == NULL
+    # is not a match
+    def sig(col: str, salt: int):
+        return F.when(
+            F.col(col).isNull(), F.xxhash64(F.col("record_id"), F.lit(salt))
+        ).otherwise(F.xxhash64(F.col(col)))
+
     compact = features.select(
         "record_id",
         "token_set",
@@ -172,8 +182,8 @@ def _paired_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
         "trigram_vec",
         "n_tokens",
         F.substring("path", 1, 64).alias("path"),
-        F.xxhash64("sha256").alias("sha_sig"),
-        F.xxhash64("norm_sha").alias("nsha_sig"),
+        sig("sha256", 1).alias("sha_sig"),
+        sig("norm_sha", 2).alias("nsha_sig"),
     )
     fa = compact.select(
         F.col("record_id").alias("id_a"),

@@ -253,7 +253,13 @@ def train_ivf_centroids(
     xxhash64(id). Each Lloyd iteration is one narrow assignment UDF pass
     plus one native posexplode/groupBy mean — the classic scalable
     k-means shape (distributed E-step, tiny M-step)."""
-    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    # fan out single-row-group scans BEFORE the per-iteration UDF passes
+    # (same rationale as the other Arrow-UDF operator entry points)
+    v = ensure_min_parallelism(vectors).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     init = (
         v.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
         .orderBy("_h", "_id")
@@ -291,7 +297,6 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
     n_cells: int = 16,
     n_probe: int = 8,
     train_iters: int = 2,

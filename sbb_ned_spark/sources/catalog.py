@@ -34,6 +34,7 @@ from hashlib import sha256
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 class TableCatalog(Protocol):
@@ -83,7 +84,9 @@ class ParquetCatalog:
             return spark.read.parquet(p)
         try:
             return spark.read.parquet(p)
-        except Exception:
+        except AnalysisException:
+            # only path-shape failures fall back to the `.parquet` layout;
+            # access/corruption errors propagate with their real cause
             return spark.read.parquet(p + ".parquet")
 
     def _is_local(self) -> bool:

@@ -70,3 +70,17 @@ def test_hex_codec_equals_string_codec(spark):
     }
     assert base == hexed
     assert set(base) == set(s)
+
+
+def test_hex_codec_rejects_non_hex_ids_loudly(spark):
+    """A caller-supplied id that is not lowercase even-length hex must
+    FAIL the job with a clear message — never silently become NULL edges
+    and singleton clusters."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    e = spark.createDataFrame([("r001", "r002")], ["id_a", "id_b"])
+    n = spark.createDataFrame([("r001",), ("r002",)], ["record_id"])
+    with pytest.raises(Exception) as ei:
+        connected_components(e, n, PipelineConfig(), id_codec="hex").collect()
+    assert "not lowercase hex" in str(ei.value)
