@@ -118,6 +118,14 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
     # 4-way union of selects over `features` would replay the upstream
     # Arrow UDF projection once per branch in a composed (un-checkpointed)
     # plan; one explode keeps the feature computation single-evaluation.
+    #
+    # record_id rides the posting table (and everything downstream of it:
+    # the pair join, the pair groupBy, both cap windows, the scoring
+    # joins) as its 32-byte unhex BINARY form — bytewise order equals the
+    # lowercase-hex order, so id_a < id_b, min-id tie-breaks and window
+    # orders are unchanged while the id share of every one of those
+    # shuffles halves. Stage outputs that face external consumers
+    # (clusters, membership) are hexed back at the boundary.
     def kk(key_col, kind: str):
         return F.struct(key_col.alias("key"), F.lit(kind).alias("key_kind"))
 
@@ -136,7 +144,7 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
         ),
     )
     return features.select(
-        "record_id", F.explode(key_structs).alias("kk")
+        F.unhex("record_id").alias("record_id"), F.explode(key_structs).alias("kk")
     ).select("record_id", F.col("kk.key").alias("key"), F.col("kk.key_kind").alias("key_kind"))
 
 

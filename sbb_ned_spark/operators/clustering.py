@@ -91,10 +91,15 @@ def connected_components(
     shuffle/sort/checkpoint moves half the bytes and the small tail-round
     star tables drop under the AQE broadcast threshold sooner. Output ids
     are hexed back; exact round-trip.
+
+    ``id_codec='binary'``: edge ids ARRIVE binary (the scoring stage
+    already runs on unhexed ids, see ``blocking.blocking_keys``); the
+    loop uses them as-is and the output is hexed back to the lowercase
+    string form ``records`` uses.
     """
     spark = edges.sparkSession
-    hex_ids = id_codec == "hex"
-    if hex_ids:
+    hex_ids = id_codec in ("hex", "binary")
+    if id_codec == "hex":
         # LOUD contract guard: an id that is not lowercase even-length hex
         # would silently round-trip wrong (unhex -> NULL, or uppercase ->
         # lowercased) and corrupt clusters into singletons; fail the job

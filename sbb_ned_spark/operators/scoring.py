@@ -27,9 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
-    StringType,
     StructField,
     StructType,
 )
@@ -38,8 +38,11 @@ from sbb_ned_spark.functions import similarity as sim
 
 SCORE_SCHEMA = StructType(
     [
-        StructField("id_a", StringType()),
-        StructField("id_b", StringType()),
+        # pair ids are the 32-byte BINARY form of the sha256 record ids
+        # end-to-end through scoring (see blocking.blocking_keys); the
+        # clusters stage hexes back at the pipeline boundary
+        StructField("id_a", BinaryType()),
+        StructField("id_b", BinaryType()),
         StructField("n_shared_keys", IntegerType()),
         StructField("token_jaccard", DoubleType()),
         StructField("token_containment", DoubleType()),
@@ -176,7 +179,7 @@ def _paired_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
         ).otherwise(F.xxhash64(F.col(col)))
 
     compact = features.select(
-        "record_id",
+        F.unhex("record_id").alias("record_id"),
         "token_set",
         "skeleton_seq",
         "trigram_vec",

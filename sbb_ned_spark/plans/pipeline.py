@@ -260,10 +260,11 @@ def run_pipeline(
     else:
         def build_clusters():
             edges = clustering.accepted_edges(scores, config)
-            # record ids are sha256 hex -> run the CC loop on 32-byte
-            # binary ids (identical ordering, half the shuffle bytes)
+            # pair ids arrive as 32-byte binary (blocking/scoring run on
+            # unhexed sha256 ids end-to-end); CC keeps them binary and
+            # hexes back at the output boundary
             rep_clusters = clustering.connected_components(
-                edges, feats, config, id_codec="hex"
+                edges, feats, config, id_codec="binary"
             )
             if membership is None:
                 return rep_clusters

@@ -106,7 +106,11 @@ def test_blocking_recall_on_true_pairs(spark, feats, tiny_truth):
     members, lp = tiny_truth
     keys = blocking.blocking_keys(feats)
     cold, _ = blocking.split_hot_keys(keys, PipelineConfig())
-    pairs = blocking.candidate_pairs(cold, PipelineConfig())
+    # pair ids ride binary inside the pipeline; hex back for the
+    # string-id ground-truth join
+    pairs = blocking.candidate_pairs(cold, PipelineConfig()).select(
+        F.lower(F.hex("id_a")).alias("id_a"), F.lower(F.hex("id_b")).alias("id_b")
+    )
     pos = spark.createDataFrame(lp[lp.label == 1][["id_a", "id_b"]])
     n_pos = pos.count()
     missed = pos.join(pairs, ["id_a", "id_b"], "left_anti").count()

@@ -113,10 +113,13 @@ def test_scores_bounded_and_exact_flagged(scored):
 def test_identical_pair_scores_one(scored):
     feats, pairs, sc = scored
     # any pair with equal sha256 must have all similarities == 1
+    # scores carry binary pair ids; unhex the features side to match
     full = sc.join(
-        feats.select(F.col("record_id").alias("id_a"), F.col("sha256").alias("sha_a")), "id_a"
+        feats.select(F.unhex("record_id").alias("id_a"), F.col("sha256").alias("sha_a")),
+        "id_a",
     ).join(
-        feats.select(F.col("record_id").alias("id_b"), F.col("sha256").alias("sha_b")), "id_b"
+        feats.select(F.unhex("record_id").alias("id_b"), F.col("sha256").alias("sha_b")),
+        "id_b",
     )
     ident = full.filter(F.col("sha_a") == F.col("sha_b"))
     assert ident.count() > 0
