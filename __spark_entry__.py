@@ -866,7 +866,11 @@ def q_p8_first_word_filter(spark, sf):
 def q_a8_grouped_assembly(spark, sf):
     # A8: grouped assembly — per-group ordered id list (the reference's
     # per-mention candidate-list assembly, `sentence_lookup.py:124-135`):
-    # deterministic order via array_sort over (date, key) structs
+    # deterministic order via array_sort over (date, key) structs.
+    # The ordered list ships as a '|'-joined STRING, not array<bigint>:
+    # the driver's canon pandas-sorts every output column and cannot
+    # factorize list cells (r4 red — VERDICT r4 ask #1); the string form
+    # carries the identical ordered-assembly evidence.
     o = _t(spark, sf, "orders")
     assembled = o.groupBy("o_custkey").agg(
         F.array_sort(
@@ -876,7 +880,9 @@ def q_a8_grouped_assembly(spark, sf):
     )
     return assembled.select(
         "o_custkey",
-        F.transform("ordered", lambda s: s["o_orderkey"]).alias("order_keys"),
+        F.concat_ws(
+            "|", F.transform("ordered", lambda s: s["o_orderkey"].cast("string"))
+        ).alias("order_keys"),
         "n_orders",
     )
 
@@ -1509,7 +1515,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE first_word NOT IN ('the', 'liste', 'redirect')""",
         "a8_grouped_assembly": """
             SELECT o_custkey,
-                   ARRAY_AGG(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+                   array_to_string(
+                     ARRAY_AGG(CAST(o_orderkey AS VARCHAR)
+                               ORDER BY o_orderdate, o_orderkey), '|')
+                     AS order_keys,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_custkey""",
         "p10_temporal_rerank": """
@@ -1648,8 +1657,12 @@ def oracle_sql() -> dict[str, str]:
         sys_aligned AS (
           SELECT doc_id, pos, gpos, token AS sys_token FROM (
             SELECT doc_id, pos, token, is_marker,
-                   SUM(CASE WHEN is_marker THEN 0 ELSE 1 END)
-                     OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS gpos
+                   -- CAST: DuckDB types the windowed SUM as HUGEINT, which
+                   -- pandas fetches as float64 (0.0 vs Spark's int 0) and
+                   -- the driver's value hash diverges — same trap the w5
+                   -- oracle documents (r4 red — VERDICT r4 ask #2)
+                   CAST(SUM(CASE WHEN is_marker THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS gpos
             FROM marked)
           WHERE NOT is_marker),
         gold AS (

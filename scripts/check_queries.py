@@ -1,10 +1,13 @@
 """Ad-hoc replica of the driver correctness gate for selected queries.
 
-Usage: python scripts/check_queries.py [sf_dir] q1 q2 ...
+Usage: python scripts/check_queries.py [--strict] [sf_dir] q1 q2 ...
 Runs each named queries() entry on Spark and its oracle_sql() on DuckDB
 over the same parquet, comparing row count, columns, and the
 order-insensitive multiset of (rounded) values — the same normalization
-as tests/test_entry_oracle.py.
+as tests/test_entry_oracle.py.  With --strict it ALSO replays the
+driver's stricter canon (pandas sort over all columns, dtype-sensitive
+hash, oracle fetched via .df() — sbb_ned_spark.driver_canon), which is
+the layer that produced the r3/r4 driver-only reds.
 """
 
 from __future__ import annotations
@@ -52,6 +55,9 @@ def _normalize_rows(cols, rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
     sf = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -95,6 +101,21 @@ def main() -> int:
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             print(f"{name}: VALUES diff, first: {diffs}")
             bad += 1
+        elif strict:
+            from sbb_ned_spark import driver_canon as canon
+
+            try:
+                sh = canon.canon_hash(canon.spark_to_pandas(sdf))
+                dh = canon.canon_hash(con.execute(oracle[name]).df())
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: CANON ERR {e}")
+                bad += 1
+                continue
+            if sh != dh:
+                print(f"{name}: CANON HASH diff ({len(sr)} rows value-equal)")
+                bad += 1
+            else:
+                print(f"{name}: OK+CANON ({len(sr)} rows)")
         else:
             print(f"{name}: OK ({len(sr)} rows)")
     return 1 if bad else 0

@@ -82,6 +82,38 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_driver_canon(spark, ddb, name):
+    """STRICT replica of the driver's canon layer (VERDICT r4 ask #3).
+
+    The loose test above is value-equality with type coercion; the driver
+    is stricter: it pandas-sorts every output column (dies on list cells
+    — the r4 a8 red) and hashes dtype-sensitively with the oracle fetched
+    via ``.df()``, where DuckDB HUGEINT/DECIMAL arrive as float64 (the r4
+    j10 red). This test fails on BOTH of those as shipped in round 4 and
+    makes that class of red impossible to ship blind again.
+    """
+    from sbb_ned_spark import driver_canon as dc
+
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spdf = dc.spark_to_pandas(sdf)  # asserts scalar-only schema first
+    ddf = ddb.execute(ORACLE[name]).df()  # pandas dtypes, like the driver
+
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {sorted(spdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    sh = dc.canon_hash(spdf)
+    dh = dc.canon_hash(ddf)
+    if sh != dh:
+        _, srows = dc.canon_cells(spdf)
+        _, drows = dc.canon_cells(ddf)
+        diffs = [(a, b) for a, b in zip(srows, drows) if a != b][:5]
+        raise AssertionError(
+            f"{name}: driver-canon hash mismatch "
+            f"({len(srows)} vs {len(drows)} rows), first diffs: {diffs}"
+        )
+
+
 @pytest.mark.parametrize("name", [n for n in ROWS_ONLY if n != "er_clusters"])
 def test_rows_only_queries_run(spark, name):
     qfn = entry_mod.queries()[name]
