@@ -143,8 +143,15 @@ def blocking_keys(features: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) 
             lambda h, i: kk(F.xxhash64(F.lit("mhs"), i, h), "minhash_skeleton_band"),
         ),
     )
+    # guarded decode (ADVICE r4 #1): run_pipeline accepts a caller-supplied
+    # record_id column as-is, so a non-hex id would silently unhex to NULL
+    # here, vanish from every candidate equi-join, and surface only as
+    # all-singleton clusters. Fail loudly at the decode instead.
+    from sbb_ned_spark.functions.ids import guarded_unhex
+
     return features.select(
-        F.unhex("record_id").alias("record_id"), F.explode(key_structs).alias("kk")
+        guarded_unhex("record_id", "blocking_keys").alias("record_id"),
+        F.explode(key_structs).alias("kk"),
     ).select("record_id", F.col("kk.key").alias("key"), F.col("kk.key_kind").alias("key_kind"))
 
 

@@ -104,20 +104,31 @@ def connected_components(
         # would silently round-trip wrong (unhex -> NULL, or uppercase ->
         # lowercased) and corrupt clusters into singletons; fail the job
         # with a clear message instead. One native expression per edge.
-        def dec(c: str):
-            b = F.unhex(F.col(c))
-            ok = F.lower(F.hex(b)) == F.col(c)
-            return F.when(ok, b).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("connected_components(id_codec='hex'): id is not "
-                              "lowercase hex: "),
-                        F.col(c),
-                    )
-                )
-            )
+        from sbb_ned_spark.functions.ids import guarded_unhex
 
-        edges = edges.select(dec("id_a").alias("id_a"), dec("id_b").alias("id_b"))
+        edges = edges.select(
+            guarded_unhex("id_a", "connected_components(id_codec='hex')").alias("id_a"),
+            guarded_unhex("id_b", "connected_components(id_codec='hex')").alias("id_b"),
+        )
+    elif id_codec == "binary":
+        # Defense-in-depth against a stale pre-binary-refactor checkpoint
+        # (ADVICE r4 #2): string ids reaching the binary path would be
+        # double-hexed downstream and every record would silently become a
+        # singleton cluster. The manifest format version is the primary
+        # gate; this plan-time type assert makes the failure loud even for
+        # callers that bypass the catalog.
+        from pyspark.sql.types import BinaryType
+
+        types = {f.name: f.dataType for f in edges.schema.fields}
+        bad = [c for c in ("id_a", "id_b") if not isinstance(types.get(c), BinaryType)]
+        if bad:
+            raise TypeError(
+                "connected_components(id_codec='binary'): edge columns "
+                f"{bad} are not BinaryType ({[types[c].simpleString() for c in bad]}) "
+                "— likely a stale string-id checkpoint from before the "
+                "binary-id refactor; recompute the stage (delete its "
+                "checkpoint) or pass id_codec='hex'."
+            )
     # the CC loop runs many small jobs over a shrinking edge set; a large
     # shuffle-partition count would pay per-task scheduling for mostly
     # empty partitions each iteration

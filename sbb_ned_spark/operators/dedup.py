@@ -182,7 +182,7 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def make_simhash_udf(bits: int = 64):
+def make_simhash_udf(bits: int = 64, slab_tokens: int = 1 << 17):
     """pandas UDF: array<bigint> token hashes -> bigint SimHash.
 
     Whole-batch kernel (the ragged-bincount pattern of
@@ -192,29 +192,39 @@ def make_simhash_udf(bits: int = 64):
     single weighted sum. Bit b is set iff strictly more than half the
     tokens have bit b set (2*ones > len), identical to the +1/-1 vote."""
     ar = np.arange(bits, dtype=np.uint64)
-
+    # Slab budget (ADVICE r4 #3): the (tokens, bits) int64 bit matrix costs
+    # bits*8 bytes per token hash (~512 B at 64 bits). Unbounded, a 10k-row
+    # Arrow batch of ~1k-token documents would peak ~5 GB; slabbing at 128k
+    # token hashes caps the matrix at 64 MiB while keeping the reduceat
+    # fully vectorized within each slab. A single over-budget row still
+    # processes (its own slab) — per-row cost is irreducible.
     @F.pandas_udf("long")
     def simhash(tok_hashes: pd.Series) -> pd.Series:
         n = len(tok_hashes)
-        lens = np.zeros(n, dtype=np.int64)
-        chunks = []
+        out = np.zeros(n, dtype=np.uint64)
+        one = np.uint64(1)
+        weights = one << ar
+        rows: list[tuple[int, np.ndarray]] = []
         for i, arr in enumerate(tok_hashes):
             if arr is None or len(arr) == 0:
                 continue
-            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            lens[i] = a.size
-            chunks.append(a)
-        out = np.zeros(n, dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            vals = np.concatenate(chunks)
-            one = np.uint64(1)
+            rows.append((i, np.asarray(arr, dtype=np.int64).astype(np.uint64)))
+        pos = 0
+        while pos < len(rows):
+            end, tok = pos, 0
+            while end < len(rows) and (end == pos or tok + rows[end][1].size <= slab_tokens):
+                tok += rows[end][1].size
+                end += 1
+            slab = rows[pos:end]
+            vals = np.concatenate([a for _, a in slab])
+            lens = np.array([a.size for _, a in slab], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             bit_matrix = ((vals[:, None] >> ar[None, :]) & one).astype(np.int64)
-            nz_lens = lens[nz]
-            starts = np.concatenate([[0], np.cumsum(nz_lens)[:-1]])
-            ones = np.add.reduceat(bit_matrix, starts, axis=0)  # (n_nz, bits)
-            majority = (2 * ones) > nz_lens[:, None]
-            out[nz] = (majority.astype(np.uint64) * (one << ar)).sum(axis=1)
+            ones = np.add.reduceat(bit_matrix, starts, axis=0)  # (slab_rows, bits)
+            majority = (2 * ones) > lens[:, None]
+            idx = np.fromiter((i for i, _ in slab), dtype=np.int64, count=len(slab))
+            out[idx] = (majority.astype(np.uint64) * weights).sum(axis=1)
+            pos = end
         return pd.Series(out.astype(np.int64))
 
     return simhash

@@ -35,6 +35,17 @@ STAGES = (
     "clusters",
 )
 
+# Physical-schema version of the stage checkpoints. Bump whenever a stage's
+# on-disk representation changes incompatibly, even if the config hash does
+# not — a resume must never feed an old-format checkpoint into new code.
+# History:
+#   1 (implicit, rounds 1-4a): string record ids in posting/pair/score tables
+#   2: 32-byte BINARY record ids end-to-end (commit a92cc15) — a v1
+#      pair_scores checkpoint fed to connected_components(id_codec='binary')
+#      would double-hex its ids and silently singleton-ize every cluster
+#      (ADVICE r4 #2)
+STAGE_FORMAT_VERSION = 2
+
 
 def _with_ids(files: DataFrame) -> DataFrame:
     """Ensure the per-row invariant columns exist (input_hint: record_id
@@ -88,6 +99,10 @@ def _valid_manifest(
         return None
     if m.get("config_hash") != cfg_hash:
         return None
+    # a manifest written before STAGE_FORMAT_VERSION existed has no
+    # format_version key -> treated as v-unknown -> not resumable
+    if m.get("format_version") != STAGE_FORMAT_VERSION:
+        return None
     if m.get("upstream_digest") != manifest_digest(upstream):
         return None
     return m
@@ -138,6 +153,7 @@ def run_pipeline(
         manifest = {
             "stage": stage,
             "config_hash": cfg_hash,
+            "format_version": STAGE_FORMAT_VERSION,
             "upstream_digest": manifest_digest(upstream),
             # fresh nonce per RECOMPUTE: any stage rebuilt this run (its
             # inputs may have drifted) conservatively invalidates every

@@ -84,10 +84,18 @@ class ParquetCatalog:
             return spark.read.parquet(p)
         try:
             return spark.read.parquet(p)
-        except AnalysisException:
-            # only path-shape failures fall back to the `.parquet` layout;
-            # access/corruption errors propagate with their real cause
-            return spark.read.parquet(p + ".parquet")
+        except AnalysisException as e:
+            # only path-NOT-FOUND falls back to the `.parquet` layout; a
+            # genuine analysis failure (schema merge, access error) must
+            # propagate with its real cause, not be re-raised as a
+            # misleading "path not found: <p>.parquet" (ADVICE r4 #4)
+            cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+            if cond != "PATH_NOT_FOUND":
+                raise
+            try:
+                return spark.read.parquet(p + ".parquet")
+            except AnalysisException as e2:
+                raise e2 from e
 
     def _is_local(self) -> bool:
         scheme = self.root.split("://", 1)[0] if "://" in self.root else ""

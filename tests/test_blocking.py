@@ -119,3 +119,18 @@ def test_blocking_recall_on_true_pairs(spark, feats, tiny_truth):
     # the END-TO-END gate (exact cluster match, test_pipeline.py) stays
     # tight — transitive clustering must bridge every one of these
     assert missed <= max(1, int(0.01 * n_pos)), (missed, n_pos)
+
+
+def test_blocking_keys_reject_non_hex_record_id_loudly(spark):
+    """run_pipeline accepts a pre-existing record_id column as-is; a
+    non-hex id must FAIL the job at the blocking_keys decode — never
+    silently unhex to NULL and fall out of every candidate join as
+    all-singleton clusters (ADVICE r4 #1)."""
+    bad = spark.createDataFrame(
+        [("file-123", "r", "p", "c", "py", "x" * 40)],
+        ["record_id", "repo", "path", "commit", "lang", "content"],
+    )
+    feats = blocking.record_features(bad)
+    with pytest.raises(Exception) as ei:
+        blocking.blocking_keys(feats).collect()
+    assert "not lowercase hex" in str(ei.value)

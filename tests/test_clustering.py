@@ -84,3 +84,16 @@ def test_hex_codec_rejects_non_hex_ids_loudly(spark):
     with pytest.raises(Exception) as ei:
         connected_components(e, n, PipelineConfig(), id_codec="hex").collect()
     assert "not lowercase hex" in str(ei.value)
+
+
+def test_binary_codec_rejects_string_edges_loudly(spark):
+    """A stale pre-binary-refactor checkpoint (string id columns) fed to
+    the binary path would be double-hexed into silent all-singleton
+    clusters; the plan-time type assert must catch it (ADVICE r4 #2)."""
+    import pytest
+
+    e = spark.createDataFrame([("aa", "bb")], ["id_a", "id_b"])
+    n = spark.createDataFrame([("aa",)], ["record_id"])
+    with pytest.raises(TypeError) as ei:
+        connected_components(e, n, PipelineConfig(), id_codec="binary")
+    assert "stale string-id checkpoint" in str(ei.value)

@@ -74,3 +74,18 @@ def test_hot_shingle_cutoff(spark, docs):
     capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", tau=0.8, max_token_freq=2)
     # dropping hot shingles can only shrink the intersection counts
     assert capped.count() <= all_pairs.count()
+
+
+def test_simhash_slab_bound_preserves_signatures(spark, docs):
+    """The slabbed kernel (bounded bit-matrix memory, ADVICE r4 #3) must
+    produce bit-identical signatures to an effectively-unslabbed run —
+    including slabs that split mid-batch and single rows over budget."""
+    from sbb_ned_spark.functions.normalize import with_normalized_columns
+
+    d = with_normalized_columns(docs.withColumnRenamed("text", "content"), "content")
+    small = dedup.make_simhash_udf(slab_tokens=8)  # forces many tiny slabs
+    big = dedup.make_simhash_udf(slab_tokens=1 << 30)  # one slab per batch
+    out = d.select(
+        "doc_id", small("tok_hashes").alias("s"), big("tok_hashes").alias("b")
+    )
+    assert out.filter(F.col("s") != F.col("b")).count() == 0

@@ -234,3 +234,24 @@ def test_bench_recall_floor(spark):
     res.unpersist_all()
     assert q["recall"] >= RECALL_FLOOR, q
     assert q["f1"] >= 0.99, q
+
+
+def test_resume_invalidated_by_stage_format_version(spark, tiny_files, tmp_path):
+    """A checkpoint whose manifest predates STAGE_FORMAT_VERSION (or was
+    written by an older on-disk schema, e.g. string ids before the
+    binary-id refactor) must NOT be resumed (ADVICE r4 #2)."""
+    import json
+
+    root = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(checkpoint_dir=root)
+    P.run_pipeline(tiny_files, cfg)
+    # simulate a pre-versioning manifest on pair_scores
+    mp = os.path.join(root, "pair_scores", "_MANIFEST.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["format_version"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    res = P.run_pipeline(tiny_files, cfg, resume=True)
+    stages = [m["stage"] for m in res.metrics]
+    assert stages == ["pair_scores", "clusters"]
