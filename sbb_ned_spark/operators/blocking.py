@@ -193,9 +193,22 @@ def candidate_pairs(
     """
     left = posting.select(F.col("key"), F.col("record_id").alias("id_a"))
     right = posting.select(F.col("key"), F.col("record_id").alias("id_b"))
+    # ONE pair-stream exchange on id_a serves BOTH the dedup aggregate and
+    # the rank_a window (round-4's 2.2x/4 stage, VERDICT r4 ask #4): hash-
+    # partitioning on id_a alone satisfies the groupBy(id_a, id_b)
+    # clustering requirement (a subset of the grouping keys) AND the
+    # rank_a window's partitioning, so the plan is
+    #   join-exchange -> exchange(id_a) -> agg + sort + rank_a (one stage)
+    #   -> exchange(id_b) -> rank_b
+    # instead of four wide passes. Map-side combine on the dropped
+    # (id_a,id_b) exchange was near-worthless anyway: a pair's duplicate
+    # rows live in DIFFERENT join partitions (one per shared key), so
+    # partial aggregation merged almost nothing. Skew on id_a is bounded
+    # by construction: <= ~66 keys/record x max_key_frequency rows.
     pairs = (
         left.join(right, "key")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition("id_a")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_keys"))
     )
@@ -222,6 +235,15 @@ def candidate_pairs(
     kf = config.max_fan_in
     return (
         pairs.withColumn("rank_a", F.row_number().over(wa))
+        # the survival condition implies rank_a <= max_fan_in on every
+        # surviving pair (kf >= k), so hot-id_a fan-out is pruned BEFORE
+        # the id_b exchange instead of after both windows. rank_b is then
+        # computed over the pruned set: pairs whose id_b-competitors fell
+        # to the ceiling move UP in rank_b, so this can only ADMIT extra
+        # candidates (scored exactly in Stage 2), never drop a pair the
+        # unpruned ranking accepted; every record still holds <= kf pairs
+        # per orientation.
+        .filter(F.col("rank_a") <= kf)
         .withColumn("rank_b", F.row_number().over(wb))
         .filter(
             ((F.col("rank_a") <= k) & (F.col("rank_b") <= kf))

@@ -36,31 +36,56 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(u): m = min(N(u) ∪ {u}); connect every strictly larger
-    neighbor v > u to m."""
-    nbr_min = edges.groupBy("u").agg(F.min("v").alias("nmin"))
-    m = nbr_min.select(
-        "u", F.least(F.col("nmin"), F.col("u")).alias("m")
-    )
-    joined = edges.join(m, "u")
-    out = joined.filter(F.col("v") > F.col("u")).select(
-        F.col("v").alias("id_a"), F.col("m").alias("id_b")
-    )
+    neighbor v > u to m.
+
+    Window formulation (round-5 2.1x/4 fix): the per-u minimum is an
+    unordered window over partitionBy(u) computed IN PLACE on the edge
+    rows — ONE exchange per pass instead of the join formulation's
+    groupBy exchange + join-probe exchange, and no join fan-out. Skew
+    profile is identical (a hot u concentrates its rows either way).
+    """
+    from pyspark.sql.window import Window
+
+    m = F.min(F.least("u", "v")).over(Window.partitionBy("u"))
     # no distinct here: duplicates don't affect the min-aggregations in the
     # following small-star pass, and the per-iteration dedup there keeps
-    # the edge set bounded — saves one shuffle per iteration
-    return out.filter(F.col("id_a") != F.col("id_b"))
+    # the edge set bounded — saves one shuffle per iteration.
+    # v > u >= m, so the id_a != id_b guard is implied.
+    return (
+        edges.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+    )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star(u): over neighbors v <= u, m = min(N<=(u) ∪ {u});
-    connect each of those neighbors and u itself to m."""
-    le = edges.filter(F.col("v") <= F.col("u"))
-    m = le.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    joined = le.join(m, "u")
-    to_m = joined.select(F.col("v").alias("id_a"), F.col("m").alias("id_b")).unionByName(
-        m.select(F.col("u").alias("id_a"), F.col("m").alias("id_b"))
+    connect each of those neighbors and u itself to m.
+
+    Same window rewrite as :func:`_large_star`, with the two output
+    families (every v -> m, plus u -> m once) fused into one explode —
+    the union formulation would re-run the window sort for each branch.
+    One ordered window computes both min(v) (= m, since every v <= u)
+    and the once-per-u row marker.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy("v")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    le = (
+        edges.filter(F.col("v") <= F.col("u"))
+        .withColumn("m", F.min("v").over(frame))
+        .withColumn("rn", F.row_number().over(w))
     )
-    return to_m.filter(F.col("id_a") != F.col("id_b")).distinct()
+    pair = lambda a: F.struct(F.col(a).alias("id_a"), F.col("m").alias("id_b"))  # noqa: E731
+    out = le.select(
+        F.explode(
+            F.when(F.col("rn") == 1, F.array(pair("v"), pair("u"))).otherwise(
+                F.array(pair("v"))
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return out.filter(F.col("id_a") != F.col("id_b")).distinct()
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:

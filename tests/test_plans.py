@@ -108,3 +108,29 @@ def test_ivf_plan_is_cell_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_candidate_pairs_single_endpoint_exchange(spark, tiny_files):
+    """The pair stream must cross exactly ONE exchange keyed on id_a
+    (serving dedup-agg + rank_a window together) and one on id_b — no
+    separate (id_a, id_b) composite exchange (the round-4 2.2x/4 stage's
+    fourth wide pass), and the rank_a<=max_fan_in prune must reach the
+    plan as a WindowGroupLimit before the id_b exchange."""
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators import blocking
+
+    cfg = PipelineConfig()
+    feats = blocking.record_features(tiny_files, cfg)
+    cold, _ = blocking.split_hot_keys(blocking.blocking_keys(feats, cfg), cfg)
+    plan = _formatted(spark, blocking.candidate_pairs(cold, cfg))
+    import re
+
+    # formatted mode lists each Exchange's keys on an Arguments line
+    ex_keys = [
+        re.findall(r"(\w+)#\d+", m)
+        for m in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert ["id_a"] in ex_keys and ["id_b"] in ex_keys, (ex_keys, plan)
+    assert ["id_a", "id_b"] not in ex_keys, ("composite pair exchange", ex_keys)
+    assert sum(k[:1] == ["id_a"] for k in ex_keys) == 1, ex_keys
+    assert "WindowGroupLimit" in plan
