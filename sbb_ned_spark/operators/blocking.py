@@ -165,10 +165,27 @@ def split_hot_keys(
     keys matching more than `max_key_frequency` records. hot_key_stats is
     kept for the metrics/lineage table (hot_keys_dropped must be measured,
     not assumed — SURVEY.md §7.4.2).
+
+    Round 5: cold ALSO drops singleton keys (key_freq == 1) — a key held
+    by one record can never form a pair, and after the exact-dup collapse
+    MOST keys are singletons (bench: 3.48M -> 0.62M posting rows, -82%).
+    That shrinks the stage checkpoint and the candidate self-join input
+    by the same factor. The frequency count stays a groupBy (map-side
+    partial aggregation keeps a mega-hot key from concentrating its raw
+    rows in one task — a window count would); the pair-capable key set
+    then inner-joins back, replacing the old broadcast anti-join: the
+    filtered freq table is already hash-partitioned on key from its own
+    aggregation, so the join adds ONE posting exchange and stays safe
+    when the pair-capable key set is itself too big to broadcast
+    (broadcasting it would OOM at 10^12 files; AQE still picks broadcast
+    at runtime when it genuinely fits).
     """
     freq = keys.groupBy("key").agg(F.count("*").alias("key_freq"))
     hot = freq.filter(F.col("key_freq") > config.max_key_frequency)
-    cold = keys.join(F.broadcast(hot.select("key")), "key", "left_anti")
+    pairable = freq.filter(
+        (F.col("key_freq") >= 2) & (F.col("key_freq") <= config.max_key_frequency)
+    )
+    cold = keys.join(pairable.select("key"), "key")
     return cold, hot
 
 

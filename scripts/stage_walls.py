@@ -9,9 +9,13 @@ scaling evidence (fresh JVM per invocation).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# import from THIS script's repo checkout (A/B campaigns run the script
+# from an old-commit worktree; a hardcoded /root/repo would silently
+# measure the new code twice)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

@@ -67,16 +67,49 @@ def _load_vecs(spark, sf):
     )
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_lsh_topk_recall_gate_equals_bruteforce(spark, sf):
-    """THE recall gate (VERDICT r2 #3): with tau-derived parameters the
-    LSH top-k must equal the exact brute-force top-k on the fixture —
-    the deterministic per-table seeding pins this result."""
+    """THE recall gate (VERDICT r2 #3) and the `ann_lsh_topk` oracle's
+    local tripwire (VERDICT r4 ask #6): the driver oracle asserts exact
+    equality with brute force, which is an EMPIRICAL pin of the
+    deterministic per-table seeding at the fixture scales — so equality
+    is re-verified here at EVERY fixture scale (including the bench
+    sf0.1 the driver never checks). A fixture/seed change that breaks
+    the pin fails THIS test first, flagging a re-pin requirement rather
+    than a silent driver red."""
     v = _load_vecs(spark, sf)
     q = v.filter(F.col("vec_id") < 10)
     exact = sorted(tuple(r) for r in ss.brute_force_topk(v, q, k=3).collect())
     approx = sorted(tuple(r) for r in ss.lsh_topk(v, q, k=3).collect())
     assert approx == exact
+
+
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_lsh_candidate_set_covers_true_topk(spark, sf):
+    """STRUCTURAL superset property behind the empirical pin: every true
+    top-k neighbor must appear in the LSH bucket-join candidate set
+    (before re-rank). This is the invariant the tau-derived
+    (planes, tables) parameters are sized for; if it holds, the exact
+    re-rank makes lsh_topk == brute force BY CONSTRUCTION, so the
+    driver oracle's equality follows from this test rather than luck."""
+    v = _load_vecs(spark, sf)
+    q = v.filter(F.col("vec_id") < 10)
+    true_topk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ss.brute_force_topk(v, q, k=3).collect()
+    }
+    cands = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ss.lsh_candidates(v, q).collect()
+    }
+    missing = true_topk - cands
+    assert not missing, f"true neighbors outside the LSH candidate set: {missing}"
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
@@ -256,3 +289,59 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
 
     got = {r["record_id"]: r["first_seen"] for r in spark.read.parquet(out).collect()}
     assert got == {"a": True, "b": True, "c": False, "d": False, "e": True, "f": False}
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """MinHash-band stateful near-dup (VERDICT r4 ask #8): a document
+    near-identical to one ingested in an EARLIER micro-batch must come
+    out matched (band-key state survives the restart), unrelated text
+    must not, and within-batch the min-record_id copy is the keeper."""
+    from sbb_ned_spark.streaming.stateful import (
+        collapse_band_flags,
+        streaming_near_dup,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "record_id string, content string"
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "changed")          # jaccard ~0.9 vs base
+    other = " ".join(f"zzz{i}" for i in range(40))  # unrelated
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_near_dup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: c is a near-dup of a IN-batch; b unrelated
+    spark.createDataFrame(
+        [("a", base), ("b", other), ("c", near)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    # batch 2 (fresh query, same checkpoint): d near-dups batch-1 content;
+    # e is new
+    more = " ".join(f"qqq{i}" for i in range(40))
+    spark.createDataFrame([("d", near), ("e", more)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    flags = {
+        r["record_id"]: (r["near_dup"], r["n_matched_bands"])
+        for r in collapse_band_flags(spark.read.parquet(out)).collect()
+    }
+    assert flags["a"][0] is False            # first ever
+    assert flags["b"][0] is False            # unrelated
+    assert flags["c"][0] is True             # in-batch near-dup of a
+    assert flags["d"][0] is True             # cross-batch (state survived)
+    assert flags["d"][1] == 16               # identical to c -> every band
+    assert flags["e"][0] is False
