@@ -147,10 +147,15 @@ def minhash_lsh_pairs(
     The slim (id, band-key) posting table is localCheckpoint'ed before
     the self-join: both join sides then read the stored blocks, so the
     MinHash UDF lineage runs ONCE instead of once per side (measured 2x
-    on the whole operator). The durable-pipeline analog is the
-    blocking_keys stage checkpoint (`plans/pipeline.py`).
+    on the whole operator). The (id, tok_set) base is checkpointed too:
+    the shingle expression chain (split/transform/slice/array_distinct —
+    the operator's biggest codegen unit) otherwise re-evaluates on BOTH
+    verification join sides; with the checkpoint it compiles and runs
+    once and sa/sb read stored blocks (measured ~2x again on the whole
+    operator). The durable-pipeline analog is the blocking_keys stage
+    checkpoint (`plans/pipeline.py`).
     """
-    base = _with_token_set(df, id_col, text_col)
+    base = _with_token_set(df, id_col, text_col).localCheckpoint(eager=False)
     hashed = base.withColumn(
         "tok_hashes", F.transform("tok_set", lambda t: F.xxhash64(t))
     )
