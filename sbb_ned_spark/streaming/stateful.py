@@ -27,16 +27,30 @@ shuffle key is a small int; per-bucket state is the array of 64-bit
 hashes seen so far. The batch kernel is vectorized (np.isin + pandas
 duplicated — no per-row Python).
 
-Scale notes: per-bucket state grows with distinct contents; at 10^12
-files swap the exact hash array for a Bloom filter per bucket (the
-state schema stays ``array<long>`` — store the filter words) or enable
-state TTL; a 64-bit hash collision mis-tags one row as duplicate with
-prob ~2^-63 per pair, the same accepted trade as the batch blocking
-keys. For the near-dup operator a false band match only nominates a
-CANDIDATE (the batch family verifies candidates exactly; a streaming
-consumer wanting verified pairs joins matched rows against a stored
-shingle-set table the same way). The reference has no streaming analog
-(SURVEY.md §2.9); this is part of the training-data-pipeline surface.
+Scale notes: with ``state_mode='exact'`` (default) per-bucket state
+grows with distinct contents — right for bounded corpora and for
+restart-exact semantics. ``state_mode='bloom'`` is the 10^12-file
+path: per-bucket state is a FIXED-SIZE Bloom filter (``bloom_bits``
+bits stored as ``array<long>`` words — the state schema is unchanged),
+membership is k double-hashed probes, and state size is constant no
+matter how many distinct contents stream through. The error is
+one-sided: a true duplicate is NEVER missed; a fresh item is mis-tagged
+seen with prob ~(1-e^(-kn/m))^k (defaults m=2^20 bits/bucket, k=7:
+~0.7% at 100k distinct hashes per bucket — size m to the expected
+per-bucket cardinality). For exact dedup that means dropping the odd
+unique document (the standard web-scale Bloom-dedup trade); for the
+near-dup operator a false band match only nominates a CANDIDATE (the
+batch family verifies candidates exactly; a streaming consumer wanting
+verified pairs joins matched rows against a stored shingle-set table
+the same way). Within a micro-batch duplicate detection stays exact in
+both modes (the batch's own hashes are in hand). Do not change
+state_mode or sizing under an existing checkpoint — the serialized
+words/hash-list are indistinguishable; use a fresh checkpoint dir (the
+same rule Spark applies to any stateful-operator schema change). A
+64-bit hash collision mis-tags one row as duplicate with prob ~2^-63
+per pair, the same accepted trade as the batch blocking keys. The
+reference has no streaming analog (SURVEY.md §2.9); this is part of
+the training-data-pipeline surface.
 """
 
 from __future__ import annotations
@@ -52,17 +66,45 @@ STATE_DDL = "seen array<long>"
 NEAR_OUTPUT_DDL = "record_id string, band int, band_key long, matched boolean"
 
 
+_MIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer, vectorized (public-domain constant mix)."""
+    x = x ^ (x >> np.uint64(33))
+    x = x * _MIX_C1
+    x = x ^ (x >> np.uint64(33))
+    x = x * _MIX_C2
+    return x ^ (x >> np.uint64(33))
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int):
+    """(word_idx, bit_idx) arrays of shape (n, k) for k double-hashed
+    probes into an m_bits-bit filter (m_bits must be a power of two)."""
+    u = np.ascontiguousarray(h, dtype=np.int64).view(np.uint64)
+    h1 = _mix64(u)
+    h2 = _mix64(u ^ _MIX_C2) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    idx = (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
+    return (idx >> np.uint64(6)).astype(np.int64), idx & np.uint64(63)
+
+
 def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str,
-                      flag_is_fresh: bool):
+                      flag_is_fresh: bool, bloom_bits: int = 0, bloom_k: int = 7):
     """Shared bucket kernel: tag each row with whether its ``hash_col``
     value is FRESH (never seen in state nor earlier in this batch, where
     "earlier" = smaller record_id — deterministic, matching the batch
-    min-id keeper rule) and fold fresh hashes into the bucket state."""
+    min-id keeper rule) and fold fresh hashes into the bucket state.
+
+    ``bloom_bits=0``: state is the exact seen-hash array. ``bloom_bits>0``
+    (power of two): state is a fixed-size Bloom filter's int64 words —
+    constant-size state for unbounded streams; see the module docstring
+    for the one-sided-error contract."""
+    if bloom_bits and bloom_bits & (bloom_bits - 1):
+        raise ValueError(f"bloom_bits must be a power of two, got {bloom_bits}")
 
     def kernel(key: tuple, pdfs, state: GroupState):
-        seen = np.asarray(state.get[0], dtype=np.int64) if state.exists else np.empty(
-            0, dtype=np.int64
-        )
         # buffer the bucket's slice of this micro-batch (bounded:
         # 1/n_buckets of the batch) so the within-batch keeper is
         # deterministic; across micro-batches, earlier arrival wins (state)
@@ -73,10 +115,32 @@ def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str
         order = np.lexsort((batch["record_id"].to_numpy(),))
         h_sorted = batch[hash_col].to_numpy(dtype=np.int64)[order]
         first_in_batch_sorted = ~pd.Series(h_sorted).duplicated().to_numpy()
-        fresh_sorted = first_in_batch_sorted & ~np.isin(h_sorted, seen)
+        if bloom_bits:
+            n_words = bloom_bits // 64
+            words = (
+                np.asarray(state.get[0], dtype=np.int64).view(np.uint64).copy()
+                if state.exists
+                else np.zeros(n_words, dtype=np.uint64)
+            )
+            w, bit = _bloom_positions(h_sorted, bloom_bits, bloom_k)
+            in_state = ((words[w] >> bit) & np.uint64(1)).astype(bool).all(axis=1)
+            fresh_sorted = first_in_batch_sorted & ~in_state
+            np.bitwise_or.at(
+                words,
+                w[fresh_sorted].ravel(),
+                np.uint64(1) << bit[fresh_sorted].ravel(),
+            )
+            state.update((words.view(np.int64).tolist(),))
+        else:
+            seen = (
+                np.asarray(state.get[0], dtype=np.int64)
+                if state.exists
+                else np.empty(0, dtype=np.int64)
+            )
+            fresh_sorted = first_in_batch_sorted & ~np.isin(h_sorted, seen)
+            state.update((np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),))
         fresh = np.empty(len(batch), dtype=bool)
         fresh[order] = fresh_sorted
-        state.update((np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),))
         out = {"record_id": batch["record_id"]}
         for c in extra_cols:
             out[c] = batch[c]
@@ -87,9 +151,15 @@ def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str
     return kernel
 
 
-_dedup_buckets = _make_seen_kernel("sha64", (), "first_seen", flag_is_fresh=True)
-_near_dup_buckets = _make_seen_kernel("band_key", ("band",), "matched",
-                                      flag_is_fresh=False)
+def _state_kernel(kind: str, state_mode: str, bloom_bits: int, bloom_k: int):
+    if state_mode not in ("exact", "bloom"):
+        raise ValueError(f"state_mode must be 'exact' or 'bloom', got {state_mode!r}")
+    bits = bloom_bits if state_mode == "bloom" else 0
+    if kind == "dedup":
+        return _make_seen_kernel("sha64", (), "first_seen", flag_is_fresh=True,
+                                 bloom_bits=bits, bloom_k=bloom_k)
+    return _make_seen_kernel("band_key", ("band",), "matched", flag_is_fresh=False,
+                             bloom_bits=bits, bloom_k=bloom_k)
 
 
 def streaming_exact_dedup(
@@ -97,17 +167,24 @@ def streaming_exact_dedup(
     id_col: str = "record_id",
     text_col: str = "content",
     n_buckets: int = 64,
+    state_mode: str = "exact",
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 7,
 ) -> DataFrame:
     """(record_id, sha64, first_seen) per incoming row; ``first_seen`` is
     False iff the identical content appeared in ANY earlier row — earlier
     in this micro-batch, an earlier micro-batch, or before a restart
-    (state is checkpointed). Downstream keeps ``first_seen`` rows only."""
+    (state is checkpointed). Downstream keeps ``first_seen`` rows only.
+
+    ``state_mode='bloom'`` bounds per-bucket state to ``bloom_bits`` bits
+    regardless of stream cardinality (the 10^12 path; one-sided error —
+    see module docstring)."""
     hashed = files.select(
         F.col(id_col).cast("string").alias("record_id"),
         F.xxhash64(text_col).alias("sha64"),
     ).withColumn("bucket", F.pmod("sha64", F.lit(n_buckets)).cast("int"))
     return hashed.groupBy("bucket").applyInPandasWithState(
-        _dedup_buckets,
+        _state_kernel("dedup", state_mode, bloom_bits, bloom_k),
         outputStructType=OUTPUT_DDL,
         stateStructType=STATE_DDL,
         outputMode="append",
@@ -122,6 +199,9 @@ def streaming_near_dup(
     n_buckets: int = 64,
     n_perms: int = 64,
     n_bands: int = 16,
+    state_mode: str = "exact",
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 7,
 ) -> DataFrame:
     """(record_id, band, band_key, matched) — one row per (document, LSH
     band); ``matched`` is True iff the band key appeared in ANY earlier
@@ -133,7 +213,9 @@ def streaming_near_dup(
     Uses the SAME (perms, bands, shingles) machinery as the batch
     ``minhash_lsh_pairs`` (16 bands x 4 rows: band recall ~0.9998 at
     jaccard 0.8), so streaming and batch agree on what counts as a
-    near-dup candidate."""
+    near-dup candidate. ``state_mode='bloom'`` bounds per-bucket state
+    (here a Bloom false positive only ever ADDS a candidate, which exact
+    downstream verification removes — strictly safe)."""
     from sbb_ned_spark.functions.hashing import make_minhash_band_udf
     from sbb_ned_spark.operators.dedup import _shingle_array
 
@@ -154,7 +236,7 @@ def streaming_near_dup(
         .drop("h")
     )
     return keys.groupBy("bucket").applyInPandasWithState(
-        _near_dup_buckets,
+        _state_kernel("near", state_mode, bloom_bits, bloom_k),
         outputStructType=NEAR_OUTPUT_DDL,
         stateStructType=STATE_DDL,
         outputMode="append",

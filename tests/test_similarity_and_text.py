@@ -345,3 +345,76 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
     assert flags["d"][0] is True             # cross-batch (state survived)
     assert flags["d"][1] == 16               # identical to c -> every band
     assert flags["e"][0] is False
+
+
+def test_bloom_positions_one_sided():
+    """Bloom kernel math: inserted hashes are ALWAYS found afterwards
+    (no false negatives, the one-sided contract) and the probe layout is
+    deterministic; false-positive rate on fresh keys stays near the
+    analytic (1-e^(-kn/m))^k."""
+    import numpy as np
+
+    from sbb_ned_spark.streaming.stateful import _bloom_positions
+
+    m_bits, k = 1 << 14, 7
+    rng = np.random.default_rng(11)
+    ins = rng.integers(-2**63, 2**63 - 1, size=1000, dtype=np.int64)
+    w, b = _bloom_positions(ins, m_bits, k)
+    w2, b2 = _bloom_positions(ins, m_bits, k)
+    assert np.array_equal(w, w2) and np.array_equal(b, b2)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    np.bitwise_or.at(words, w.ravel(), np.uint64(1) << b.ravel())
+    assert ((words[w] >> b) & np.uint64(1)).astype(bool).all()
+    probe = rng.integers(-2**63, 2**63 - 1, size=20000, dtype=np.int64)
+    pw, pb = _bloom_positions(probe, m_bits, k)
+    fp = ((words[pw] >> pb) & np.uint64(1)).astype(bool).all(axis=1).mean()
+    expect = (1 - np.exp(-k * len(ins) / m_bits)) ** k
+    assert fp < 4 * expect + 0.01
+
+
+def test_streaming_dedup_bloom_state_across_batches(spark, tmp_path):
+    """state_mode='bloom': fixed-size per-bucket state, same verdicts as
+    exact mode on this fixture (fp prob ~1e-12 at 6 hashes in 2^16 bits),
+    surviving a restart."""
+    from sbb_ned_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "record_id string, content string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_exact_dedup(stream, state_mode="bloom", bloom_bits=1 << 16)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta"), ("c", "alpha")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [("d", "alpha"), ("e", "gamma"), ("f", "beta")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+
+    got = {r["record_id"]: r["first_seen"] for r in spark.read.parquet(out).collect()}
+    assert got == {"a": True, "b": True, "c": False, "d": False, "e": True, "f": False}
+
+
+def test_streaming_state_mode_validation(spark):
+    import pytest as _pytest
+
+    from sbb_ned_spark.streaming.stateful import _state_kernel
+
+    with _pytest.raises(ValueError, match="state_mode"):
+        _state_kernel("dedup", "lossy", 1 << 20, 7)
+    with _pytest.raises(ValueError, match="power of two"):
+        _state_kernel("dedup", "bloom", 1000, 7)
