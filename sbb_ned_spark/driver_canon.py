@@ -84,9 +84,11 @@ def _canon_cell(v) -> str:
     if isinstance(v, decimal.Decimal):
         # DECIMAL reaches pandas as float64 from DuckDB but as Decimal
         # objects from Spark — coerce both to the float form.
-        return f"f:{round(float(v), 6)!r}"
+        return f"f:{round(float(v), 6) + 0.0!r}"
     if isinstance(v, (float, np.floating)):
-        return f"f:{round(float(v), 6)!r}"
+        # + 0.0 maps -0.0 (e.g. round(-1e-9, 6)) onto 0.0: the two are
+        # value-equal but repr differently, which would be a false red.
+        return f"f:{round(float(v), 6) + 0.0!r}"
     if isinstance(v, (pd.Timestamp, datetime.datetime, np.datetime64)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
@@ -113,20 +115,18 @@ def _canon_cell(v) -> str:
 
 
 def canon_cells(pdf: pd.DataFrame) -> Tuple[List[str], List[List[str]]]:
-    """Columns sorted by name, rows pandas-sorted over all columns, every
-    cell in canonical repr.  Raises (like the driver) on list cells."""
+    """Columns sorted by name, every cell in canonical repr, rows sorted
+    on those reprs.  Raises (like the driver) on list cells."""
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
-    if len(pdf):
-        # The driver's sort step; mergesort for cross-call determinism.
-        # This is what throws "unhashable type: 'list'" on array cells.
-        pdf = pdf.sort_values(by=cols, kind="mergesort", na_position="first")
     rows = [
         [_canon_cell(v) for v in row]
         for row in pdf.itertuples(index=False, name=None)
     ]
-    # Residual ties after the raw sort are broken on the canon reprs so
-    # int-vs-float rows that sort equal still hash deterministically.
+    # One full sort on the canon reprs is the digest's ONLY ordering: a
+    # raw pandas sort_values first would be dead work (its ordering is
+    # discarded here), and its raise-on-list side effect is already
+    # produced — with a clearer message — by _canon_cell above.
     rows.sort()
     return cols, rows
 

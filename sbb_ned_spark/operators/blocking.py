@@ -252,15 +252,18 @@ def candidate_pairs(
     kf = config.max_fan_in
     return (
         pairs.withColumn("rank_a", F.row_number().over(wa))
-        # the survival condition implies rank_a <= max_fan_in on every
-        # surviving pair (kf >= k), so hot-id_a fan-out is pruned BEFORE
-        # the id_b exchange instead of after both windows. rank_b is then
-        # computed over the pruned set: pairs whose id_b-competitors fell
-        # to the ceiling move UP in rank_b, so this can only ADMIT extra
-        # candidates (scored exactly in Stage 2), never drop a pair the
-        # unpruned ranking accepted; every record still holds <= kf pairs
-        # per orientation.
-        .filter(F.col("rank_a") <= kf)
+        # the survival condition implies rank_a <= max(k, kf) on every
+        # surviving pair — WHICHEVER of the two knobs is larger — so
+        # hot-id_a fan-out is pruned BEFORE the id_b exchange instead of
+        # after both windows (max(k, kf), not kf: a config with
+        # max_fan_in < max_candidates_per_record is legal, and pruning at
+        # kf alone would silently drop pairs the second disjunct admits).
+        # rank_b is then computed over the pruned set: pairs whose
+        # id_b-competitors fell to the ceiling move UP in rank_b, so this
+        # can only ADMIT extra candidates (scored exactly in Stage 2),
+        # never drop a pair the unpruned ranking accepted; every record
+        # still holds <= max(k, kf) pairs per orientation.
+        .filter(F.col("rank_a") <= max(k, kf))
         .withColumn("rank_b", F.row_number().over(wb))
         .filter(
             ((F.col("rank_a") <= k) & (F.col("rank_b") <= kf))

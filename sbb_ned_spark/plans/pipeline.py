@@ -207,8 +207,36 @@ def run_pipeline(
         # partition (unordered window = whole-partition aggregate, no
         # sort-by-value). Content crosses this single shuffle once and the
         # map-side of every later stage starts from unique contents only.
-        tagged = _with_ids(files).withColumn(
-            "rep_id", F.min("record_id").over(Window.partitionBy("sha256"))
+        # The (sha256, record_id) duplicate-count window rides the SAME
+        # exchange (its keys are a superset of the partitioning) and makes
+        # a caller manifest that lists the same record twice a LOUD error:
+        # a duplicate record_id would otherwise pass the rep filter twice
+        # and silently emit duplicate cluster rows (the clusters join runs
+        # with assume_unique_records=True on this path).
+        tagged = (
+            _with_ids(files)
+            .withColumn(
+                "rep_id", F.min("record_id").over(Window.partitionBy("sha256"))
+            )
+            .withColumn(
+                "_n_dup",
+                F.count("*").over(Window.partitionBy("sha256", "record_id")),
+            )
+            .withColumn(
+                "rep_id",
+                F.when(F.col("_n_dup") == 1, F.col("rep_id")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "run_pipeline: duplicate record_id in input "
+                                "(same record listed more than once): "
+                            ),
+                            F.col("record_id"),
+                        )
+                    )
+                ),
+            )
+            .drop("_n_dup")
         )
         if (m := resumable("exact_groups")) is not None:
             membership = catalog.read_table(spark, "exact_groups")
@@ -279,8 +307,17 @@ def run_pipeline(
             # pair ids arrive as 32-byte binary (blocking/scoring run on
             # unhexed sha256 ids end-to-end); CC keeps them binary and
             # hexes back at the output boundary
+            # assume_unique_records skips a whole-table distinct. It is
+            # safe only on the collapse path, where the stage-0 duplicate
+            # guard above fails loudly on repeated record_ids; with the
+            # collapse off (diagnostic mode) nothing upstream checks, so
+            # CC keeps its own distinct there.
             rep_clusters = clustering.connected_components(
-                edges, feats, config, id_codec="binary", assume_unique_records=True
+                edges,
+                feats,
+                config,
+                id_codec="binary",
+                assume_unique_records=config.collapse_exact_dups,
             )
             if membership is None:
                 return rep_clusters

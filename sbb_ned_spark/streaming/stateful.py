@@ -117,11 +117,22 @@ def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str
         first_in_batch_sorted = ~pd.Series(h_sorted).duplicated().to_numpy()
         if bloom_bits:
             n_words = bloom_bits // 64
-            words = (
-                np.asarray(state.get[0], dtype=np.int64).view(np.uint64).copy()
-                if state.exists
-                else np.zeros(n_words, dtype=np.uint64)
-            )
+            if state.exists:
+                restored = np.asarray(state.get[0], dtype=np.int64)
+                if len(restored) != n_words:
+                    # a checkpoint written under a different state_mode or
+                    # bloom_bits would otherwise be reinterpreted as filter
+                    # words — arbitrary bits set, silent false "seen"s.
+                    # Fail loudly instead (same philosophy as guarded_unhex).
+                    raise ValueError(
+                        f"restored state has {len(restored)} words, expected "
+                        f"{n_words} for bloom_bits={bloom_bits}; the checkpoint "
+                        "was written under a different state_mode/bloom_bits — "
+                        "start a fresh checkpoint dir instead"
+                    )
+                words = restored.view(np.uint64).copy()
+            else:
+                words = np.zeros(n_words, dtype=np.uint64)
             w, bit = _bloom_positions(h_sorted, bloom_bits, bloom_k)
             in_state = ((words[w] >> bit) & np.uint64(1)).astype(bool).all(axis=1)
             fresh_sorted = first_in_batch_sorted & ~in_state

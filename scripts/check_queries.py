@@ -15,12 +15,15 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+# Resolve the repo root from THIS file so an old-commit worktree tests its
+# own checkout, not /root/repo (the stage_walls.py A/B-campaign trap).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry_mod
 
 TABLES = [
@@ -76,11 +79,32 @@ def main() -> int:
     bad = 0
     for name in names:
         sdf = qs[name](spark, sf)
+        if name not in oracle:
+            print(f"{name}: NO ORACLE spark_rows={sdf.count()}")
+            continue
+        if strict:
+            # Canon equality subsumes the loose gate (same cols + same row
+            # multiset + value equality at canon precision), so the green
+            # path costs ONE execution per engine; the loose diagnostics
+            # below re-execute only on mismatch, to tell a value bug from
+            # dtype drift.
+            from sbb_ned_spark import driver_canon as canon
+
+            try:
+                n = None
+                spdf = canon.spark_to_pandas(sdf)
+                n = len(spdf)
+                sh = canon.canon_hash(spdf)
+                dh = canon.canon_hash(con.execute(oracle[name]).df())
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: CANON ERR {e}")
+                bad += 1
+                continue
+            if sh == dh:
+                print(f"{name}: OK+CANON ({n} rows)")
+                continue
         spark_rows = [tuple(r) for r in sdf.collect()]
         spark_cols = list(sdf.columns)
-        if name not in oracle:
-            print(f"{name}: NO ORACLE spark_rows={len(spark_rows)}")
-            continue
         try:
             cur = con.execute(oracle[name])
             duck_cols = [d[0] for d in cur.description]
@@ -102,20 +126,8 @@ def main() -> int:
             print(f"{name}: VALUES diff, first: {diffs}")
             bad += 1
         elif strict:
-            from sbb_ned_spark import driver_canon as canon
-
-            try:
-                sh = canon.canon_hash(canon.spark_to_pandas(sdf))
-                dh = canon.canon_hash(con.execute(oracle[name]).df())
-            except Exception as e:  # noqa: BLE001
-                print(f"{name}: CANON ERR {e}")
-                bad += 1
-                continue
-            if sh != dh:
-                print(f"{name}: CANON HASH diff ({len(sr)} rows value-equal)")
-                bad += 1
-            else:
-                print(f"{name}: OK+CANON ({len(sr)} rows)")
+            print(f"{name}: CANON HASH diff ({len(sr)} rows value-equal)")
+            bad += 1
         else:
             print(f"{name}: OK ({len(sr)} rows)")
     return 1 if bad else 0

@@ -67,6 +67,30 @@ def test_candidate_pairs_oriented_and_capped(feats):
     assert max_cands <= 7 + 14
 
 
+def test_candidate_pairs_fan_in_below_k_keeps_first_disjunct(spark):
+    """Regression: max_fan_in < max_candidates_per_record is a legal
+    config, and the hot-id_a pre-prune must use max(k, kf), not kf.
+
+    Star block: pair (r0, ri) shares exactly i distinct keys, so r0's
+    own-nomination ranking is r9, r8, ..., r1 while every ri has r0 as
+    its ONLY partner (rank_b = 1). With k=5, kf=2 the survival rule
+    (rank_a<=5 & rank_b<=2) admits (r0, r5..r9); a pre-prune at kf=2
+    alone silently dropped rank_a in {3,4,5} before rank_b was computed.
+    """
+    rows = []
+    for i in range(1, 10):
+        for j in range(i):
+            rows.append((f"h{i}_{j}", "r0"))
+            rows.append((f"h{i}_{j}", f"r{i}"))
+    posting = spark.createDataFrame(rows, ["key", "record_id"])
+    cfg = PipelineConfig(min_shared_keys=1, max_candidates_per_record=5, max_fan_in=2)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in blocking.candidate_pairs(posting, cfg).collect()
+    )
+    assert got == [("r0", f"r{i}") for i in range(5, 10)]
+
+
 def test_low_id_record_fan_in_bounded_in_huge_block(spark):
     """A popular min-id record inside one giant block (e.g. a vendored
     file cluster) must not accumulate O(cluster) pairs: every endpoint is

@@ -126,3 +126,20 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(["record_id", "cluster_id", "cluster_size"]) <= set(df.columns)
+
+
+def test_canon_negative_zero_and_dead_sort():
+    """-0.0 and 0.0 are value-equal and must hash identically (a rounded
+    tiny negative reprs as '-0.0'); int-vs-float stays distinct; and the
+    digest is row-order-insensitive without any pandas pre-sort."""
+    import pandas as pd
+
+    from sbb_ned_spark import driver_canon as dc
+
+    z = dc.canon_hash(pd.DataFrame({"x": [0.0]}))
+    assert dc.canon_hash(pd.DataFrame({"x": [-0.0]})) == z
+    assert dc.canon_hash(pd.DataFrame({"x": [-1e-9]})) == z  # rounds to -0.0
+    assert dc.canon_hash(pd.DataFrame({"x": [0]})) != z  # int64 vs float64
+    a = pd.DataFrame({"x": [2.0, 1.0], "y": ["b", "a"]})
+    b = pd.DataFrame({"x": [1.0, 2.0], "y": ["a", "b"]})
+    assert dc.canon_hash(a) == dc.canon_hash(b)

@@ -255,3 +255,22 @@ def test_resume_invalidated_by_stage_format_version(spark, tiny_files, tmp_path)
     res = P.run_pipeline(tiny_files, cfg, resume=True)
     stages = [m["stage"] for m in res.metrics]
     assert stages == ["pair_scores", "clusters"]
+
+
+def test_duplicate_record_id_fails_loudly(spark, tiny_files):
+    """An input manifest listing the same record twice must fail with a
+    clear error, not silently emit duplicate cluster rows (the clusters
+    stage skips its distinct on the collapse path)."""
+    dup = tiny_files.unionAll(tiny_files.limit(1))
+    with pytest.raises(Exception, match="duplicate record_id"):
+        P.run_pipeline(dup, PipelineConfig()).clusters.count()
+
+
+def test_duplicate_record_id_collapse_off_dedups(spark, tiny_files):
+    """With collapse_exact_dups off nothing upstream guards duplicates, so
+    connected_components keeps its own distinct: one row per record."""
+    dup = tiny_files.unionAll(tiny_files.limit(1))
+    res = P.run_pipeline(dup, PipelineConfig(collapse_exact_dups=False))
+    n = tiny_files.count()
+    assert res.clusters.count() == n
+    assert res.clusters.select("record_id").distinct().count() == n

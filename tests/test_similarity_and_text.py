@@ -418,3 +418,25 @@ def test_streaming_state_mode_validation(spark):
         _state_kernel("dedup", "lossy", 1 << 20, 7)
     with _pytest.raises(ValueError, match="power of two"):
         _state_kernel("dedup", "bloom", 1000, 7)
+
+
+def test_streaming_bloom_rejects_mismatched_state_shape():
+    """A checkpoint written under a different state_mode/bloom_bits must
+    fail loudly, not be reinterpreted as Bloom filter words."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sbb_ned_spark.streaming.stateful import _state_kernel
+
+    class FakeState:
+        exists = True
+        # an exact-mode seen-hash list: wrong length for any bloom sizing
+        get = ([11, 22, 33],)
+
+        def update(self, v):  # pragma: no cover - must not be reached
+            raise AssertionError("state must not be updated on shape mismatch")
+
+    kernel = _state_kernel("dedup", "bloom", 1 << 16, 7)
+    batch = pd.DataFrame({"record_id": ["a"], "sha64": [42]})
+    with _pytest.raises(ValueError, match="different state_mode/bloom_bits"):
+        list(kernel(("bucket",), iter([batch]), FakeState()))
