@@ -158,3 +158,81 @@ def test_blocking_keys_reject_non_hex_record_id_loudly(spark):
     with pytest.raises(Exception) as ei:
         blocking.blocking_keys(feats).collect()
     assert "not lowercase hex" in str(ei.value)
+
+
+def test_fused_udf_matches_perrow_reference(spark):
+    """The whole-batch fused feature kernel (batch_band_sigs over ragged
+    gram arrays + one-bincount trigram profiles) must be bit-identical to
+    the straightforward per-row formulation it replaced, including empty
+    rows, sub-k rows, and duplicate tokens (dedup of grams cannot change
+    a permutation minimum)."""
+    import numpy as np
+    import pandas as pd
+
+    from sbb_ned_spark.functions import hashing as H
+
+    n_perms, n_bands, k = 64, 16, 3
+    a, b = H._perm_params(n_perms)
+    rng = np.random.default_rng(7)
+
+    def ref_band_sig(g):
+        if len(g) == 0:
+            return [0] * n_bands
+        sig = ((g[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)).min(axis=0)
+        bands = sig.reshape(n_bands, n_perms // n_bands)
+        h = np.zeros(n_bands, dtype=np.uint64)
+        for r in range(n_perms // n_bands):
+            h = (h * np.uint64(1000003) + bands[:, r]) & np.uint64((1 << 63) - 1)
+        return h.astype(np.int64).tolist()
+
+    def ref_grams(u, kk):
+        n = len(u)
+        if n < kk:
+            return np.unique(u)
+        g = u[: n - kk + 1] << np.uint64(kk - 1)
+        for j in range(1, kk):
+            g = g ^ (u[j : n - kk + 1 + j] << np.uint64(kk - 1 - j))
+        return np.unique(g)
+
+    def ref_trigram(s, dim=64):
+        if not s or len(s) < 3:
+            return np.zeros(dim, dtype=np.float32)
+        arr = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8).astype(np.int64)
+        h = arr[:-2] * 961 + arr[1:-1] * 31 + arr[2:]
+        counts = np.bincount(h % dim, minlength=dim).astype(np.float64)
+        norm = np.sqrt((counts * counts).sum())
+        return (counts / norm if norm > 0 else counts).astype(np.float32)
+
+    # rows: empty, None-ish short, duplicate-heavy, random long
+    rows = [
+        [],
+        [5],
+        [3, 3, 3, 3],
+        rng.integers(-(2**63), 2**63 - 1, size=500).tolist(),
+        rng.integers(0, 50, size=80).tolist(),  # many duplicate tokens
+    ]
+    texts = ["", "ab", "the quick brown fox", "aaaaaa", "mixed τεχτ bytes"]
+    masks = [[True] * len(r) for r in rows]
+
+    fused = H.make_fused_features_udf(n_perms=n_perms, n_bands=n_bands, k=k, k_skel=4)
+    pdf = pd.DataFrame(
+        {"th": rows, "mask": masks, "nc": texts}
+    )
+    sdf = spark.createDataFrame(
+        pdf, "th array<bigint>, mask array<boolean>, nc string"
+    ).select(fused("th", "mask", "nc").alias("f")).select("f.*")
+    got = sdf.toPandas()
+
+    for i, (r, t) in enumerate(zip(rows, texts)):
+        u = np.asarray(r, dtype=np.int64).astype(np.uint64)
+        exp_mhc = ref_band_sig(ref_grams(u, k)) if len(u) else [0] * n_bands
+        assert list(got["mh_content"][i]) == exp_mhc, f"row {i} mh_content"
+        skel = u  # mask all-True: skeleton == tokens
+        exp_mhs = ref_band_sig(ref_grams(skel, 4)) if len(u) else [0] * n_bands
+        assert list(got["mh_skeleton"][i]) == exp_mhs, f"row {i} mh_skeleton"
+        assert np.array_equal(
+            np.asarray(got["trigram_vec"][i], dtype=np.float32), ref_trigram(t)
+        ), f"row {i} trigram"
+        assert list(got["token_set"][i]) == np.unique(
+            (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        ).astype(np.int32).tolist(), f"row {i} token_set"
