@@ -274,3 +274,24 @@ def test_duplicate_record_id_collapse_off_dedups(spark, tiny_files):
     n = tiny_files.count()
     assert res.clusters.count() == n
     assert res.clusters.select("record_id").distinct().count() == n
+
+
+def test_checkpoint_codec_is_zstd(spark, tmp_path):
+    """Stage checkpoints compress with zstd (measured: 27% smaller than
+    snappy, faster reads AND writes on the features table — see the
+    ParquetCatalog docstring); parquet readers auto-detect the codec so
+    old snappy checkpoints stay readable without a format bump."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from sbb_ned_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path))
+    cat.write_table(spark.range(100).withColumnRenamed("id", "x"), "t")
+    f = _glob.glob(str(tmp_path / "t" / "*.parquet"))[0]
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(i).compression
+        for i in range(pq.ParquetFile(f).metadata.num_columns)
+    }
+    assert codecs == {"ZSTD"}
