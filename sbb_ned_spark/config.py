@@ -51,6 +51,17 @@ class PipelineConfig:
     # their representative's cluster. Labels are unchanged: the min record
     # id of a cluster is always itself a representative.
     collapse_exact_dups: bool = True
+    # Input-contract validation level for duplicate record_ids. The free
+    # always-on guard (a count window riding stage 0's sha256 exchange)
+    # catches the realistic case — the same record listed twice with the
+    # same content. A record_id duplicated with DIFFERENT content (a
+    # corrupt caller-supplied key: the id is sha2(repo,path,commit) when
+    # derived, so this cannot happen on the derived path) lands in
+    # different sha groups and slips that window; validate_unique_ids=True
+    # closes it with one extra bare-id aggregation pass over the input
+    # (narrow: 32-byte ids only, no content) before the pipeline runs —
+    # opt-in because it is an extra action per run at 10^12 files.
+    validate_unique_ids: bool = False
 
     # --- Stage 2: scoring ---------------------------------------------------
     # combined score = weighted blend of similarity families

@@ -193,6 +193,27 @@ def run_pipeline(
     def resumable(stage: str) -> dict | None:
         return _valid_manifest(catalog, stage, cfg_hash, upstream) if resume else None
 
+    if config.validate_unique_ids:
+        # Opt-in COMPLETE duplicate-record_id check (see config.py): one
+        # bare-id aggregation pass (32-byte ids only — content is never
+        # shuffled here) that also catches a record_id duplicated with
+        # different content, which the free stage-0 window below cannot
+        # see. Eager by design: fail before any stage computes.
+        dup = (
+            _with_ids(files)
+            .select("record_id")
+            .groupBy("record_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "run_pipeline(validate_unique_ids=True): duplicate record_id "
+                f"in input: {dup[0]['record_id']} (x{dup[0]['count']})"
+            )
+
     # ---- Stage 0: exact-duplicate collapse -----------------------------------
     # byte-identical files (vendored copies, forks — the dominant duplicate
     # mass at 10^12 files) are collapsed to their min-id representative
@@ -212,7 +233,12 @@ def run_pipeline(
         # a caller manifest that lists the same record twice a LOUD error:
         # a duplicate record_id would otherwise pass the rep filter twice
         # and silently emit duplicate cluster rows (the clusters join runs
-        # with assume_unique_records=True on this path).
+        # with assume_unique_records=True on this path). CONTRACT EDGE:
+        # this window only sees duplicates that share content; a record_id
+        # duplicated with DIFFERENT content (corrupt caller-supplied key —
+        # impossible when the id is derived from (repo,path,commit)) lands
+        # in different sha groups and needs config.validate_unique_ids
+        # (the full bare-id check above) to be caught.
         tagged = (
             _with_ids(files)
             .withColumn(

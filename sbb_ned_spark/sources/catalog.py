@@ -158,6 +158,7 @@ class IcebergCatalog:
     catalog: str = "local"
     namespace: str = "er"
     manifest_dir: str = "/tmp/sbb_ned_iceberg_manifests"
+    codec: str = "zstd"  # same knob as ParquetCatalog.codec (see its docstring)
 
     @classmethod
     def for_root(cls, root: str, catalog: str = "local") -> "IcebergCatalog":
@@ -192,7 +193,7 @@ class IcebergCatalog:
             # same zstd default as ParquetCatalog (see its docstring for
             # the measurements); Iceberg spells it as a table property
             writer.tableProperty(
-                "write.parquet.compression-codec", "zstd"
+                "write.parquet.compression-codec", self.codec
             ).createOrReplace()
 
     def table_exists(self, spark: SparkSession, name: str) -> bool:

@@ -43,10 +43,11 @@ near-dup operator a false band match only nominates a CANDIDATE (the
 batch family verifies candidates exactly; a streaming consumer wanting
 verified pairs joins matched rows against a stored shingle-set table
 the same way). Within a micro-batch duplicate detection stays exact in
-both modes (the batch's own hashes are in hand). Do not change
-state_mode or sizing under an existing checkpoint — the serialized
-words/hash-list are indistinguishable; use a fresh checkpoint dir (the
-same rule Spark applies to any stateful-operator schema change). A
+both modes (the batch's own hashes are in hand). Changing state_mode or
+sizing under an existing checkpoint FAILS LOUDLY: element 0 of the
+stored array is a mode+sizing tag checked on every restore (both
+directions — a seen-hash list is never reinterpreted as filter words
+nor vice versa); use a fresh checkpoint dir to switch. A
 64-bit hash collision mis-tags one row as duplicate with prob ~2^-63
 per pair, the same accepted trade as the batch blocking keys. The
 reference has no streaming analog (SURVEY.md §2.9); this is part of
@@ -77,6 +78,20 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     x = x ^ (x >> np.uint64(33))
     x = x * _MIX_C2
     return x ^ (x >> np.uint64(33))
+
+
+def _state_tag(bloom_bits: int, bloom_k: int) -> np.int64:
+    """Mode+sizing tag stored as element 0 of the state array.
+
+    ``bloom_bits=0`` (exact mode) gets a fixed magic; bloom mode folds the
+    sizing in so a ``bloom_bits``/``bloom_k`` change also mismatches. A
+    real 64-bit content hash landing at position 0 is impossible (the tag
+    is always written first); colliding with the magic itself is not a
+    concern because position 0 is never data."""
+    base = np.uint64(0xA5EE_DDED_0C0F_FEE1).astype(np.int64)
+    if not bloom_bits:
+        return base
+    return np.int64(base ^ np.int64(bloom_bits) ^ (np.int64(bloom_k) << np.int64(48)))
 
 
 def _bloom_positions(h: np.ndarray, m_bits: int, k: int):
@@ -115,22 +130,37 @@ def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str
         order = np.lexsort((batch["record_id"].to_numpy(),))
         h_sorted = batch[hash_col].to_numpy(dtype=np.int64)[order]
         first_in_batch_sorted = ~pd.Series(h_sorted).duplicated().to_numpy()
+        # Element 0 of the stored array is a MODE TAG (exact vs bloom +
+        # sizing), so a restart under a different state_mode/bloom_bits
+        # fails loudly in BOTH directions instead of reinterpreting a
+        # seen-hash list as filter words (or filter words as seen hashes)
+        # — same fail-loud-over-silent philosophy as guarded_unhex. The
+        # state schema (array<long>) is unchanged.
+        tag = _state_tag(bloom_bits, bloom_k)
+        if state.exists:
+            restored = np.asarray(state.get[0], dtype=np.int64)
+            if len(restored) == 0 or restored[0] != tag:
+                raise ValueError(
+                    "restored state was written under a different "
+                    "state_mode/bloom_bits/bloom_k than this query runs "
+                    f"with (expected tag {int(tag)}, got "
+                    f"{int(restored[0]) if len(restored) else 'empty'}); "
+                    "start a fresh checkpoint dir instead"
+                )
+            payload = restored[1:]
+        else:
+            payload = None
         if bloom_bits:
             n_words = bloom_bits // 64
-            if state.exists:
-                restored = np.asarray(state.get[0], dtype=np.int64)
-                if len(restored) != n_words:
-                    # a checkpoint written under a different state_mode or
-                    # bloom_bits would otherwise be reinterpreted as filter
-                    # words — arbitrary bits set, silent false "seen"s.
-                    # Fail loudly instead (same philosophy as guarded_unhex).
+            if payload is not None:
+                if len(payload) != n_words:
                     raise ValueError(
-                        f"restored state has {len(restored)} words, expected "
+                        f"restored state has {len(payload)} words, expected "
                         f"{n_words} for bloom_bits={bloom_bits}; the checkpoint "
                         "was written under a different state_mode/bloom_bits — "
                         "start a fresh checkpoint dir instead"
                     )
-                words = restored.view(np.uint64).copy()
+                words = payload.view(np.uint64).copy()
             else:
                 words = np.zeros(n_words, dtype=np.uint64)
             w, bit = _bloom_positions(h_sorted, bloom_bits, bloom_k)
@@ -141,15 +171,13 @@ def _make_seen_kernel(hash_col: str, extra_cols: tuple[str, ...], flag_name: str
                 w[fresh_sorted].ravel(),
                 np.uint64(1) << bit[fresh_sorted].ravel(),
             )
-            state.update((words.view(np.int64).tolist(),))
+            state.update(([int(tag)] + words.view(np.int64).tolist(),))
         else:
-            seen = (
-                np.asarray(state.get[0], dtype=np.int64)
-                if state.exists
-                else np.empty(0, dtype=np.int64)
-            )
+            seen = payload if payload is not None else np.empty(0, dtype=np.int64)
             fresh_sorted = first_in_batch_sorted & ~np.isin(h_sorted, seen)
-            state.update((np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),))
+            state.update(
+                ([int(tag)] + np.concatenate([seen, h_sorted[fresh_sorted]]).tolist(),)
+            )
         fresh = np.empty(len(batch), dtype=bool)
         fresh[order] = fresh_sorted
         out = {"record_id": batch["record_id"]}

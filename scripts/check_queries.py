@@ -4,10 +4,14 @@ Usage: python scripts/check_queries.py [--strict] [sf_dir] q1 q2 ...
 Runs each named queries() entry on Spark and its oracle_sql() on DuckDB
 over the same parquet, comparing row count, columns, and the
 order-insensitive multiset of (rounded) values — the same normalization
-as tests/test_entry_oracle.py.  With --strict it ALSO replays the
-driver's stricter canon (pandas sort over all columns, dtype-sensitive
-hash, oracle fetched via .df() — sbb_ned_spark.driver_canon), which is
-the layer that produced the r3/r4 driver-only reds.
+as tests/test_entry_oracle.py.  With --strict it instead replays the
+DRIVER's canon (column-sorted, dtype-sensitive hash with the oracle
+fetched via .df() — sbb_ned_spark.driver_canon), the layer that produced
+the r3/r4 driver-only reds; the loose compare then runs only as a
+diagnostic when the canon hashes differ.  The two gates are
+incomparable by design (canon is stricter on dtype, looser on the
+null/date families the driver itself collapses) — pytest runs both on
+every query.
 """
 
 from __future__ import annotations
@@ -83,11 +87,16 @@ def main() -> int:
             print(f"{name}: NO ORACLE spark_rows={sdf.count()}")
             continue
         if strict:
-            # Canon equality subsumes the loose gate (same cols + same row
-            # multiset + value equality at canon precision), so the green
-            # path costs ONE execution per engine; the loose diagnostics
-            # below re-execute only on mismatch, to tell a value bug from
-            # dtype drift.
+            # --strict is the DRIVER-replica gate, not a superset of the
+            # loose gate: canon deliberately collapses the distinctions the
+            # driver's pandas canon also collapses (None vs NaN — nullable
+            # columns arrive as NaN floats from .df(); DATE vs midnight
+            # TIMESTAMP) while being stricter on dtype (int64 vs float64).
+            # Canon-green therefore means "the driver will green this", and
+            # the green path costs ONE execution per engine; the loose
+            # diagnostics below re-execute only on canon mismatch, to tell
+            # a value bug from dtype drift. (Both gates always run in
+            # pytest — tests/test_entry_oracle.py has one test per gate.)
             from sbb_ned_spark import driver_canon as canon
 
             try:

@@ -295,3 +295,17 @@ def test_checkpoint_codec_is_zstd(spark, tmp_path):
         for i in range(pq.ParquetFile(f).metadata.num_columns)
     }
     assert codecs == {"ZSTD"}
+
+
+def test_validate_unique_ids_catches_cross_content_duplicates(spark, tiny_files):
+    """The free stage-0 window only sees duplicates sharing content; a
+    record_id duplicated with DIFFERENT content (corrupt caller key) needs
+    the opt-in full check — and slips through silently without it being
+    the pipeline's problem (documented contract edge)."""
+    one = tiny_files.limit(1).select("record_id", "repo", "path", "commit", "lang")
+    forged = one.withColumn("content", F.lit("entirely different content"))
+    dup = tiny_files.select(
+        "record_id", "repo", "path", "commit", "lang", "content"
+    ).unionAll(forged)
+    with pytest.raises(ValueError, match="duplicate record_id"):
+        P.run_pipeline(dup, PipelineConfig(validate_unique_ids=True))

@@ -420,23 +420,53 @@ def test_streaming_state_mode_validation(spark):
         _state_kernel("dedup", "bloom", 1000, 7)
 
 
-def test_streaming_bloom_rejects_mismatched_state_shape():
-    """A checkpoint written under a different state_mode/bloom_bits must
-    fail loudly, not be reinterpreted as Bloom filter words."""
+def test_streaming_state_mode_tag_rejects_cross_mode_restore():
+    """A checkpoint written under a different state_mode/bloom_bits/bloom_k
+    must fail loudly in BOTH directions — the element-0 mode tag prevents
+    a seen-hash list being reinterpreted as Bloom filter words AND filter
+    words being reinterpreted as seen hashes."""
+    import numpy as np
     import pandas as pd
     import pytest as _pytest
 
-    from sbb_ned_spark.streaming.stateful import _state_kernel
+    from sbb_ned_spark.streaming.stateful import _state_kernel, _state_tag
 
     class FakeState:
-        exists = True
-        # an exact-mode seen-hash list: wrong length for any bloom sizing
-        get = ([11, 22, 33],)
+        def __init__(self, stored):
+            self.exists = True
+            self.get = (stored,)
+            self.updated = None
 
-        def update(self, v):  # pragma: no cover - must not be reached
-            raise AssertionError("state must not be updated on shape mismatch")
+        def update(self, v):
+            self.updated = v
 
-    kernel = _state_kernel("dedup", "bloom", 1 << 16, 7)
     batch = pd.DataFrame({"record_id": ["a"], "sha64": [42]})
-    with _pytest.raises(ValueError, match="different state_mode/bloom_bits"):
-        list(kernel(("bucket",), iter([batch]), FakeState()))
+
+    exact_state = [int(_state_tag(0, 7)), 11, 22, 33]
+    bloom_state = [int(_state_tag(1 << 16, 7))] + [0] * ((1 << 16) // 64)
+
+    # cross-mode restores: loud, state untouched
+    for kernel, stored in [
+        (_state_kernel("dedup", "bloom", 1 << 16, 7), exact_state),
+        (_state_kernel("dedup", "exact", 1 << 16, 7), bloom_state),
+        # sizing change within bloom mode is also a tag mismatch
+        (_state_kernel("dedup", "bloom", 1 << 18, 7), bloom_state),
+        (_state_kernel("dedup", "bloom", 1 << 16, 5), bloom_state),
+        # legacy untagged state (pre-tag checkpoints): loud too
+        (_state_kernel("dedup", "exact", 1 << 16, 7), [11, 22, 33]),
+    ]:
+        st = FakeState(stored)
+        with _pytest.raises(ValueError, match="state_mode"):
+            list(kernel(("bucket",), iter([batch]), st))
+        assert st.updated is None
+
+    # same-mode restores still work and re-tag on update
+    for kernel, stored in [
+        (_state_kernel("dedup", "exact", 1 << 16, 7), exact_state),
+        (_state_kernel("dedup", "bloom", 1 << 16, 7), bloom_state),
+    ]:
+        st = FakeState(stored)
+        out = pd.concat(list(kernel(("bucket",), iter([batch]), st)))
+        assert bool(out["first_seen"][0]) is True  # 42 not in state
+        assert st.updated[0][0] == stored[0]  # tag preserved at position 0
+        assert any(np.asarray(st.updated[0][1:], dtype=np.int64))  # state grew/set bits
