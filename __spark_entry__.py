@@ -696,6 +696,16 @@ def q_dedup_simhash(spark, sf):
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_containment(spark, sf):
+    # asymmetric containment via winnowing fingerprints (the MOSS scheme):
+    # catches subset/quote relations symmetric Jaccard misses; sha-60
+    # hashed so DuckDB recomputes the exact fingerprint sets
+    from sbb_ned_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", tau=0.8)
+
+
 def q_ann_bruteforce_topk(spark, sf):
     from sbb_ned_spark.operators import similarity_search as ss
 
@@ -1114,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_dehyphenate": q_f2_dehyphenate,
         "f5_stem": q_f5_stem,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # --- NEW end of round 5: containment dedup (winnowing) -------------
+        "dedup_containment": q_dedup_containment,
         # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
@@ -1659,6 +1671,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sig0 a JOIN sig0 b ON a.id < b.id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+    # containment: winnowing fingerprints recomputed EXACTLY (positional
+    # shingles — ordered, duplicates kept — sha-60 hashes, distinct minima
+    # of every 4-window with DuckDB's truncating 1-based inclusive slice
+    # matching Spark's truncating F.slice); the containment measure is the
+    # smaller doc's fingerprint coverage, threshold 0.8
+    sql["dedup_containment"] = f"""
+        WITH base AS (SELECT doc_id AS id, {_TOK_ALL} AS toks FROM documents),
+        sgl AS (SELECT id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, chr(1))]
+                       ELSE CAST([] AS VARCHAR[]) END AS s FROM base),
+        hs AS (SELECT id, list_transform(s,
+                 x -> CAST('0x' || substring(sha256(x), 1, 15) AS BIGINT)) AS h
+               FROM sgl),
+        fp AS (SELECT id, unnest(list_distinct(
+                 list_transform(generate_series(1, len(h)),
+                                i -> list_min(h[i : i + 3])))) AS f
+               FROM hs WHERE len(h) > 0),
+        sizes AS (SELECT id, COUNT(*) AS n_fp FROM fp GROUP BY id),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+                  FROM fp a JOIN fp b ON a.f = b.f AND a.id < b.id
+                  GROUP BY a.id, b.id)
+        SELECT id_a, id_b,
+               ROUND(n_shared / LEAST(sa.n_fp, sb.n_fp), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_shared / LEAST(sa.n_fp, sb.n_fp) >= 0.8"""
     # ann_lsh_topk: tau-derived (planes, tables) make the candidate set a
     # verified superset of the true top-k on the driver fixtures, and the
     # exact re-rank then makes the output identical to brute force — so

@@ -118,6 +118,98 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, fp) winnowing fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS scheme): POSITIONAL k-token shingles (ordered, duplicates kept —
+    unlike the distinct-set shingles of the Jaccard family), sha-60
+    hashed, then the distinct minima of every ``w``-window of consecutive
+    shingle hashes. Guarantee: two documents sharing any token run of
+    length >= w + k - 1 share at least one fingerprint, at ~2/(w+1) the
+    density of full shingling. Hashes are the sha256-derived family
+    (:func:`_sha60`) so DuckDB can recompute the exact fingerprint set —
+    the operator is oracle-checkable end to end.
+
+    Everything through the fingerprint set is per-row JVM array math
+    (transform/slice/array_min — no shuffle, no Python); only the final
+    posting explode feeds the cross-record join.
+    """
+    toks = _token_array(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, k)))
+    # < k tokens: the whole doc is one shingle; empty docs have none
+    shingles = F.when(n >= k, grams).otherwise(
+        F.when(n > 0, F.array(F.concat_ws("\x01", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    hs = F.transform(shingles, _sha60)
+    m = F.size(hs)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        )
+    )
+    return ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.when(m > 0, fps).otherwise(F.array().cast("array<long>"))).alias(
+            "fp"
+        ),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.8,
+    k: int = 3,
+    w: int = 4,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dups: the smaller document's
+    fingerprint coverage ``|FP_A ∩ FP_B| / min(|FP_A|, |FP_B|) >= tau``.
+
+    Catches subset/quote/concatenation relations that symmetric Jaccard
+    misses — ``|A∩B|/|A∪B|`` is small when ``|B| >> |A|`` even at FULL
+    overlap of the smaller side; this is the standard containment measure
+    of the LLM-training near-dup literature (Broder's containment, MOSS).
+    Blocking is the winnowed fingerprint equi-join (never all-pairs);
+    ``max_fp_freq`` is the hot-fingerprint skew guard, same contract as
+    the Jaccard family's hot-shingle cutoff.
+    """
+    posting = winnow_fingerprints(df, id_col, text_col, k, w)
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_fp"))
+    if max_fp_freq is not None:
+        hot = (
+            posting.groupBy("fp")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_fp_freq)
+            .select("fp")
+        )
+        posting = posting.join(F.broadcast(hot), "fp", "left_anti")
+    a = posting.select(F.col("id").alias("id_a"), "fp")
+    b = posting.select(F.col("id").alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b")), "id_b")
+        .withColumn(
+            "containment", F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= tau)
+    )
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
 def _with_token_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     return ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), _shingle_array(text_col, k).alias("tok_set")

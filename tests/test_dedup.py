@@ -89,3 +89,58 @@ def test_simhash_slab_bound_preserves_signatures(spark, docs):
         "doc_id", small("tok_hashes").alias("s"), big("tok_hashes").alias("b")
     )
     assert out.filter(F.col("s") != F.col("b")).count() == 0
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """A short doc embedded verbatim inside a much larger one: containment
+    ~1.0 (the smaller side is fully covered) while symmetric shingle
+    Jaccard stays far below the 0.8 threshold — the relation this operator
+    exists to catch."""
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"pad{i}" for i in range(300))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(df, "doc_id", "text", tau=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (1, 3) not in got and (2, 3) not in got
+    # symmetric jaccard misses the same pair at the same threshold
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", tau=0.8)
+    assert jac.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 0
+
+
+def test_winnow_fingerprints_density_and_guarantee(spark):
+    """Winnowing keeps ~2/(w+1) of the shingle hashes and any shared run
+    of >= w+k-1 tokens yields a shared fingerprint."""
+    import random
+
+    rng = random.Random(9)
+    base = [f"w{rng.randrange(10**6)}" for _ in range(400)]
+    a = " ".join(base)
+    # b shares one 20-token run (> w+k-1 = 6) embedded in unrelated text
+    run = base[100:120]
+    b = " ".join([f"x{i}" for i in range(200)] + run + [f"y{i}" for i in range(200)])
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text").persist()
+    n_fp = fp.filter(F.col("id") == 1).count()
+    # 398 shingles, w=4: expected density ~2/5; distinct-minima truncated
+    # windows land a bit above — just bound it well below full shingling
+    assert n_fp < 398 * 0.7 and n_fp > 398 * 0.2
+    shared = (
+        fp.filter(F.col("id") == 1)
+        .select("fp")
+        .intersect(fp.filter(F.col("id") == 2).select("fp"))
+        .count()
+    )
+    assert shared >= 1
+    fp.unpersist()
+
+
+def test_containment_hot_fp_cutoff_only_shrinks(spark, docs):
+    allp = dedup.containment_pairs(docs, "doc_id", "text", tau=0.8)
+    capped = dedup.containment_pairs(docs, "doc_id", "text", tau=0.8, max_fp_freq=2)
+    assert capped.count() <= allp.count()

@@ -134,3 +134,13 @@ def test_candidate_pairs_single_endpoint_exchange(spark, tiny_files):
     assert ["id_a", "id_b"] not in ex_keys, ("composite pair exchange", ex_keys)
     assert sum(k[:1] == ["id_a"] for k in ex_keys) == 1, ex_keys
     assert "WindowGroupLimit" in plan
+
+
+def test_containment_plan_is_fp_join_not_cartesian(spark):
+    """The containment path must be an equi-join on the winnowed
+    fingerprint key — never all-pairs — and the whole fingerprint
+    derivation (shingles, sha-60 hashes, window minima) must stay
+    JVM-side: no Python evaluation anywhere in the plan."""
+    plan = _formatted(spark, em.queries()["dedup_containment"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
