@@ -794,6 +794,63 @@ def q_doc_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_dedup_chunk_lines(spark, sf):
+    # C4-style cross-document boilerplate removal (Raffel et al. 2020
+    # §2.2: drop any line occurring more than once in the corpus), over
+    # non-overlapping 8-token chunks because the corpus has no newlines;
+    # survivors reassembled in order, output as plain strings (canon-safe)
+    from sbb_ned_spark.operators import corpus
+
+    d = _t(spark, sf, "documents")
+    return corpus.chunk_dedup(d, "doc_id", "text", chunk_tokens=8, min_docs=2)
+
+
+def q_text_repetition(spark, sf):
+    # Gopher-style repetition signals (Rae et al. 2021 A1.1): duplicated
+    # token fraction, top-bigram fraction, duplicated-trigram fraction —
+    # one tagged n-gram explode, two partial-agg shuffles on 60-bit keys
+    from sbb_ned_spark.operators import corpus
+
+    d = _t(spark, sf, "documents")
+    return corpus.repetition_stats(d, "doc_id", "text")
+
+
+def q_text_pii_scrub(spark, sf):
+    # PII redaction pass (the C4/Dolma scrub): emails, IPv4s, phone
+    # numbers -> typed placeholders, with per-doc match counts. PII is
+    # PLANTED deterministically from doc_id (the raw fixture text is
+    # token words with nothing to scrub) so the oracle verifies real
+    # replacements: docs ≡0 mod 5 get an email, ≡1 a phone, ≡2 an IPv4.
+    from sbb_ned_spark.operators import corpus
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    suffix = (
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" contact user"), i.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            i % 5 == 1,
+            F.concat(F.lit(" call 555-"), F.lpad((i % 10000).cast("string"), 4, "0")),
+        )
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit(" from 10."),
+                (i % 256).cast("string"),
+                F.lit("."),
+                (i * 7 % 256).cast("string"),
+                F.lit("."),
+                (i % 250).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return corpus.pii_scrub(planted, "doc_id", "text")
+
+
 def q_multimodal_features(spark, sf):
     from sbb_ned_spark.operators import multimodal as mm
 
@@ -1126,6 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- NEW end of round 5: containment dedup (winnowing) -------------
         "dedup_containment": q_dedup_containment,
+        # --- NEW end of round 5: corpus-cleaning family (C4 chunk dedup,
+        # Gopher repetition signals, PII scrub) ------------------------------
+        "dedup_chunk_lines": q_dedup_chunk_lines,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
         # --- changed round 3 ----------------------------------------------------
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
@@ -1701,6 +1763,113 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE n_shared / LEAST(sa.n_fp, sb.n_fp) >= 0.8"""
+    # C4 chunk dedup: non-overlapping 8-token chunks recomputed EXACTLY
+    # (DuckDB's truncating 1-based inclusive slice matches Spark's
+    # truncating F.slice); chunk keys are the shared sha-60 family so the
+    # >= 2-distinct-docs boilerplate cut agrees bit-for-bit
+    sql["dedup_chunk_lines"] = f"""
+        WITH base AS (SELECT doc_id AS id, {_TOK_ALL} AS toks FROM documents),
+        chunked AS (
+          SELECT id, i - 1 AS pos,
+                 array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ') AS chunk
+          FROM (SELECT id, toks,
+                       unnest(generate_series(1,
+                         CAST(ceil(len(toks)/8.0) AS BIGINT))) AS i
+                FROM base WHERE len(toks) > 0)),
+        keyed AS (SELECT id, pos, chunk,
+                         CAST('0x' || substring(sha256(chunk), 1, 15) AS BIGINT)
+                           AS ck
+                  FROM chunked),
+        boiler AS (SELECT ck FROM keyed GROUP BY ck
+                   HAVING COUNT(DISTINCT id) >= 2),
+        flagged AS (SELECT k.id, k.pos, k.chunk, (b.ck IS NOT NULL) AS is_boiler
+                    FROM keyed k LEFT JOIN boiler b ON k.ck = b.ck)
+        SELECT id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_boiler,
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_sort(list({{'pos': pos, 'chunk': chunk}})
+                             FILTER (WHERE NOT is_boiler)),
+                   s -> s.chunk), ' '), '') AS kept_text
+        FROM flagged GROUP BY id"""
+    # Gopher repetition signals: the tagged {{1,2,3}}-gram explode replayed
+    # with the same sha-60 gram keys; every SUM is CAST/divided as double
+    # before ROUND 6 and n_tokens CAST to BIGINT (the j10 HUGEINT lesson)
+    sql["text_repetition"] = f"""
+        WITH base AS (SELECT doc_id AS id, {_TOK_ALL} AS toks FROM documents),
+        grams AS (
+          SELECT id, 1 AS n, unnest(toks) AS gram FROM base
+          UNION ALL
+          SELECT id, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1])
+              ELSE CAST([] AS VARCHAR[]) END) AS gram FROM base
+          UNION ALL
+          SELECT id, 3 AS n, unnest(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks)-2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE CAST([] AS VARCHAR[]) END) AS gram FROM base),
+        counts AS (SELECT id, n,
+                          CAST('0x' || substring(sha256(gram),1,15) AS BIGINT)
+                            AS gk,
+                          COUNT(*) AS c
+                   FROM grams GROUP BY id, n, gk),
+        stats AS (SELECT id,
+            SUM(CASE WHEN n=1 THEN c END) AS tot1,
+            SUM(CASE WHEN n=1 AND c>1 THEN c END) AS dup1,
+            MAX(CASE WHEN n=2 THEN c END) AS top2,
+            SUM(CASE WHEN n=2 THEN c END) AS tot2,
+            SUM(CASE WHEN n=3 AND c>1 THEN c END) AS dup3,
+            SUM(CASE WHEN n=3 THEN c END) AS tot3
+          FROM counts GROUP BY id)
+        SELECT b.id AS doc_id,
+          CAST(COALESCE(tot1, 0) AS BIGINT) AS n_tokens,
+          ROUND(CASE WHEN COALESCE(tot1, 0) > 0
+                     THEN COALESCE(dup1, 0) / (tot1 * 1.0)
+                     ELSE 0.0 END, 6) AS dup_token_frac,
+          ROUND(CASE WHEN COALESCE(tot2, 0) > 0
+                     THEN COALESCE(top2, 0) / (tot2 * 1.0)
+                     ELSE 0.0 END, 6) AS top_bigram_frac,
+          ROUND(CASE WHEN COALESCE(tot3, 0) > 0
+                     THEN COALESCE(dup3, 0) / (tot3 * 1.0)
+                     ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM base b LEFT JOIN stats s ON b.id = s.id"""
+    # PII scrub: identical RE2-compatible patterns replayed in the same
+    # fixed order (email -> ip -> phone, PII_ORDER in operators/corpus.py);
+    # counts from the pre-scrub planted text on both sides
+    sql["text_pii_scrub"] = r"""
+        WITH planted AS (
+          SELECT doc_id, text ||
+            CASE doc_id % 5
+              WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+              WHEN 1 THEN ' call 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST(doc_id * 7 % 256 AS VARCHAR) || '.'
+                          || CAST(doc_id % 250 AS VARCHAR)
+              ELSE '' END AS text
+          FROM documents),
+        scrubbed AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+              '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+          FROM planted)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+            AS n_ips,
+          CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT)
+            AS n_phones,
+          CAST(LENGTH(clean) AS INT) AS n_chars,
+          sha256(clean) AS scrubbed_sha
+        FROM scrubbed"""
     # ann_lsh_topk: tau-derived (planes, tables) make the candidate set a
     # verified superset of the true top-k on the driver fixtures, and the
     # exact re-rank then makes the output identical to brute force — so

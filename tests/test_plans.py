@@ -144,3 +144,24 @@ def test_containment_plan_is_fp_join_not_cartesian(spark):
     plan = _formatted(spark, em.queries()["dedup_containment"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_plan_hashes_keys_and_prunes_columns(spark):
+    """The C4 chunk-dedup wide stages must be equi-joins/aggs (no
+    cartesian, no Python anywhere — the operator is fully native), and
+    the parquet scan must prune to (doc_id, text)."""
+    plan = _formatted(spark, em.queries()["dedup_chunk_lines"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all("lang" not in l and "source" not in l for l in scan)
+
+
+def test_repetition_stats_partial_aggregates_map_side(spark):
+    """The gram-count agg must run partial (map-side combine) before its
+    exchange: HashAggregate appears both below and above the exchange,
+    and no Python evaluator is in the plan."""
+    plan = _formatted(spark, em.queries()["text_repetition"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
