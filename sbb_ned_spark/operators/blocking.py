@@ -190,13 +190,23 @@ def split_hot_keys(
 
 
 def candidate_pairs(
-    posting: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+    posting: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    delta_flag: str | None = None,
 ) -> DataFrame:
     """Self equi-join of the cold posting table on ``key`` with a strict
     ``id_a < id_b`` order (J6 pattern, `data_processor.py:191-196`),
     deduped across keys with per-pair shared-key count, and capped per
     record at ``max_candidates_per_record`` (reference `max_candidates`=25,
     `index.py:209-211`) via a window top-k (W4).
+
+    ``delta_flag``: name of a boolean posting column marking NEW records
+    (the batch-incremental path, plans/incremental.py). Pairs between two
+    un-flagged records are dropped straight after the key join — their
+    decisions are already baked into the existing cluster state — so the
+    pair stream, both cap windows and Stage 2 all scale with the DELTA,
+    not the corpus. The old-old join rows that do materialize are bounded
+    per key by max_key_frequency² and filtered before the first exchange.
 
     The cap is SYMMETRIC: a pair survives if it ranks in the top-k of
     EITHER endpoint (the reference semantics — each record fetches its own
@@ -208,8 +218,10 @@ def candidate_pairs(
     EVERY record's pair count at k + max_fan_in while chains of mutual
     nominations keep large clusters connected for Stage 3.
     """
-    left = posting.select(F.col("key"), F.col("record_id").alias("id_a"))
-    right = posting.select(F.col("key"), F.col("record_id").alias("id_b"))
+    fa = [F.col(delta_flag).alias("new_a")] if delta_flag else []
+    fb = [F.col(delta_flag).alias("new_b")] if delta_flag else []
+    left = posting.select(F.col("key"), F.col("record_id").alias("id_a"), *fa)
+    right = posting.select(F.col("key"), F.col("record_id").alias("id_b"), *fb)
     # ONE pair-stream exchange on id_a serves BOTH the dedup aggregate and
     # the rank_a window (round-4's 2.2x/4 stage, VERDICT r4 ask #4): hash-
     # partitioning on id_a alone satisfies the groupBy(id_a, id_b)
@@ -222,10 +234,11 @@ def candidate_pairs(
     # rows live in DIFFERENT join partitions (one per shared key), so
     # partial aggregation merged almost nothing. Skew on id_a is bounded
     # by construction: <= ~66 keys/record x max_key_frequency rows.
+    joined = left.join(right, "key").filter(F.col("id_a") < F.col("id_b"))
+    if delta_flag:
+        joined = joined.filter(F.col("new_a") | F.col("new_b")).drop("new_a", "new_b")
     pairs = (
-        left.join(right, "key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .repartition("id_a")
+        joined.repartition("id_a")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_keys"))
     )

@@ -11,7 +11,11 @@ from sbb_ned_spark.operators import blocking
 
 @pytest.fixture(scope="module")
 def feats(tiny_files):
-    return blocking.record_features(tiny_files).persist()
+    # unpersist at teardown — the cached subtree would substitute into
+    # later record_features plans (see tests/test_dedup.py docs fixture)
+    df = blocking.record_features(tiny_files).persist()
+    yield df
+    df.unpersist()
 
 
 def test_features_carry_invariants_and_no_content(feats, tiny_files):

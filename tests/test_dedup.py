@@ -13,7 +13,13 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+    # MUST unpersist at module teardown: the session-scoped cache of the
+    # RAW documents scan would otherwise substitute into every later
+    # documents plan in the suite (Spark cache-manager subtree matching),
+    # un-pruning scans that plan tests assert on (test_plans chunk-dedup)
+    df = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_groups(spark, docs):

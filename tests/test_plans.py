@@ -152,9 +152,10 @@ def test_chunk_dedup_plan_hashes_keys_and_prunes_columns(spark):
     the parquet scan must prune to (doc_id, text)."""
     plan = _formatted(spark, em.queries()["dedup_chunk_lines"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
-    assert scan and all("lang" not in l and "source" not in l for l in scan)
+    assert scan, plan
+    assert all("lang" not in l and "source" not in l for l in scan), plan
 
 
 def test_repetition_stats_partial_aggregates_map_side(spark):

@@ -13,11 +13,15 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def vecs(spark):
-    return (
+    # unpersist at teardown — a session-long cache of this subtree would
+    # substitute into later embeddings plans (see tests/test_dedup.py docs)
+    df = (
         spark.read.parquet(f"{SF}/embeddings.parquet")
         .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
         .persist()
     )
+    yield df
+    df.unpersist()
 
 
 def test_bruteforce_topk_shape_and_selfexclusion(spark, vecs):
