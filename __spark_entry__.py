@@ -1159,6 +1159,32 @@ def _er_clusters_oracle_sql() -> str:
     )
 
 
+def q_er_incremental(spark, sf):
+    # the batch-incremental ER path (plans/incremental.py) end to end:
+    # resolve 70% of the tiny fixture into a fresh checkpoint state, then
+    # attach the other 30% via incremental_update. The updated A∪B
+    # clusters must equal the planted ground truth — the SAME VALUES
+    # oracle as er_clusters, so the driver verifies the incremental
+    # partition is indistinguishable from a from-scratch rebuild
+    # (tests/test_incremental.py asserts the equality directly too).
+    import tempfile
+
+    from sbb_ned_spark import fixtures
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.plans import incremental as I
+    from sbb_ned_spark.plans import pipeline as P
+
+    files = fixtures.load_files_df(spark, "tiny")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
+    base_files, batch = files.filter(h < 7), files.filter(h >= 7)
+    # fresh state root per call (deterministic output; the returned frame
+    # scans the swapped clusters table, so the dir must outlive the query)
+    cfg = PipelineConfig(checkpoint_dir=tempfile.mkdtemp(prefix="er_inc_"))
+    P.run_pipeline(base_files, cfg)
+    res = I.incremental_update(batch, cfg)
+    return res.clusters.select("record_id", "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries per round.
     # Round-4 priority: the three entries that had NEVER had a driver row
@@ -1174,6 +1200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_grouped_assembly": q_a8_grouped_assembly,
         # --- first VALUE oracle this round (was the one rows-only entry) --
         "er_clusters": q_er_clusters,
+        # --- NEW end of round 5: batch-incremental ER, same planted-truth
+        # oracle — the driver verifies incremental == from-scratch ----------
+        "er_incremental": q_er_incremental,
         # --- NEW this round: J10/F2/F5 retired from partial ----------------
         "j10_gt_alignment": q_j10_gt_alignment,
         # --- NEW round 5: J8/J9/O2 as a direct contract query --------------
@@ -1903,6 +1932,9 @@ def oracle_sql() -> dict[str, str]:
     # full-pipeline value oracle: the planted tiny-fixture ground truth
     # (every contract entry is now value-checkable; r3 ask #2)
     sql["er_clusters"] = _er_clusters_oracle_sql()
+    # the incremental partition must equal the SAME planted ground truth —
+    # a from-scratch rebuild and an incremental attach are indistinguishable
+    sql["er_incremental"] = _er_clusters_oracle_sql()
     sql["f2_dehyphenate"] = """
         WITH m AS (
           SELECT doc_id, text,
