@@ -45,6 +45,31 @@ def test_stream_resolve_batches_equal_rebuild(spark, tiny_files, tiny_truth, tmp
     assert quality["f1"] == 1.0, quality
 
 
+def test_stream_restart_processes_only_new_files(spark, tiny_files, tmp_path):
+    """The production restart shape: drain the backlog, stop, land a new
+    file, restart with the SAME offsets checkpoint — only the new file is
+    consumed (offsets persisted; the already-resolved records never reach
+    ingest_batch again) and the final clusters equal the full rebuild."""
+    landing = str(tmp_path / "landing")
+    ab, c = _split(tiny_files, 10, 8)
+    a, b = _split(ab, 7, 4)
+    a.coalesce(1).write.parquet(landing)
+    b.coalesce(1).write.mode("append").parquet(landing)
+    want = _assign(P.run_pipeline(tiny_files, PipelineConfig()).clusters)
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "state"))
+    offsets = str(tmp_path / "offsets")
+    SE.stream_resolve(spark, landing, cfg, offsets, max_files_per_trigger=1).awaitTermination()
+    cat = get_catalog(spark, cfg.checkpoint_dir)
+    n_before = cat.read_table(spark, "clusters").count()
+    assert n_before == ab.count()
+
+    c.coalesce(1).write.mode("append").parquet(landing)
+    SE.stream_resolve(spark, landing, cfg, offsets, max_files_per_trigger=1).awaitTermination()
+    clusters = cat.read_table(spark, "clusters")
+    assert _assign(clusters) == want
+
+
 def test_ingest_batch_modes_and_replay(spark, tiny_files, tmp_path):
     """bootstrap on empty state, incremental on the second batch, and a
     REPLAYED batch is a no-op that leaves the state bit-identical."""
