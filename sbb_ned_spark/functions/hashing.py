@@ -95,6 +95,70 @@ def batch_band_sigs(
     return out
 
 
+def make_shingle_minhash_udf(n_perms: int = 64, n_bands: int = 16, k: int = 3):
+    """pandas UDF: array<bigint> TOKEN xxhash64s -> struct(set_hashes,
+    band_keys) — the whole shingle+MinHash derivation in ONE Arrow pass.
+
+    Optimization-round rewrite of the dedup_minhash_lsh hot path (guide
+    §4.1/§4.2): the previous formulation built k-gram shingles as STRINGS
+    with a chain of Catalyst higher-order functions (sequence → transform
+    → slice → concat_ws → array_distinct), hashed them with a second
+    transform, and banded them in a third (Python) pass. Higher-order
+    lambdas are CodegenFallback — interpreted, one allocation per element
+    — and the giant expression tree also paid seconds of one-time plan
+    compilation. Here Catalyst only tokenizes + xxhash64s (small codegen
+    unit); everything derived from the token hashes is numpy:
+
+    - shingle hash  = shift/XOR combine of k consecutive token hashes
+      (the ``grams`` scheme of ``make_fused_features_udf``); rows with
+      fewer than k tokens fall back to their raw token hashes — exactly
+      mirroring the string fallback;
+    - set_hashes    = np.unique of those (== array_distinct of shingle
+      strings up to a ~2^-62-per-pair hash collision, far below the
+      round-to-6-decimals noise floor of the verified Jaccard);
+    - band_keys     = ``batch_band_sigs`` minhash bands with the band
+      index XOR-mixed in (8-byte join keys instead of "band:hash"
+      strings — guide §2.3, narrower shuffle keys). Empty docs emit NO
+      keys: a doc with no shingles can never reach tau, and the oracle's
+      posting table has no rows for it either.
+    """
+    a, b = _perm_params(n_perms)
+    band_salt = np.arange(1, n_bands + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    kk = k
+
+    @F.pandas_udf("set_hashes array<bigint>, band_keys array<bigint>")
+    def shingle_minhash(th_s: pd.Series) -> pd.DataFrame:
+        rows: list = []
+        sets: list = []
+        for th in th_s:
+            if th is None or len(th) == 0:
+                rows.append(None)
+                sets.append([])
+                continue
+            u = np.asarray(th, dtype=np.int64).astype(np.uint64)
+            n = u.size
+            if n < kk:
+                s = np.unique(u)
+            else:
+                g = u[: n - kk + 1] << np.uint64(kk - 1)
+                for j in range(1, kk):
+                    g = g ^ (u[j : n - kk + 1 + j] << np.uint64(kk - 1 - j))
+                s = np.unique(g)
+            rows.append(s)
+            sets.append(s.astype(np.int64))
+        bands = batch_band_sigs(rows, n_perms, n_bands, a, b)
+        keys = (bands.astype(np.uint64) ^ band_salt[None, :]).astype(np.int64)
+        out_keys = [
+            keys[i].tolist() if rows[i] is not None else []
+            for i in range(len(rows))
+        ]
+        return pd.DataFrame({"set_hashes": sets, "band_keys": out_keys})
+
+    return shingle_minhash
+
+
 def make_minhash_band_udf(n_perms: int = 128, n_bands: int = 32):
     """pandas UDF: array<bigint> shingle hashes -> array<bigint> band hashes.
 

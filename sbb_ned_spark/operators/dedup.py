@@ -28,7 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sbb_ned_spark.functions.hashing import make_minhash_band_udf
 from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
 
 
@@ -236,27 +235,36 @@ def minhash_lsh_pairs(
     oracle IS the brute-force result) — at HALF the signature/posting
     cost of 128x32.
 
-    The slim (id, band-key) posting table is localCheckpoint'ed before
-    the self-join: both join sides then read the stored blocks, so the
-    MinHash UDF lineage runs ONCE instead of once per side (measured 2x
-    on the whole operator). The (id, tok_set) base is checkpointed too:
-    the shingle expression chain (split/transform/slice/array_distinct —
-    the operator's biggest codegen unit) otherwise re-evaluates on BOTH
-    verification join sides; with the checkpoint it compiles and runs
-    once and sa/sb read stored blocks (measured ~2x again on the whole
-    operator). The durable-pipeline analog is the blocking_keys stage
-    checkpoint (`plans/pipeline.py`).
+    Round-6 rewrite (guide §4.1/§4.2/§2.3): Catalyst computes ONLY
+    tokenize + per-token xxhash64; shingling, dedup and MinHash banding
+    happen in one fused Arrow UDF (`make_shingle_minhash_udf`). The old
+    string-shingle HOF chain (sequence/transform/slice/concat_ws/
+    array_distinct) was interpreted (CodegenFallback), paid seconds of
+    one-time plan compilation, and shipped/verified multi-KB string
+    arrays; the fused path joins on 8-byte band keys and verifies exact
+    Jaccard on distinct int64 shingle-hash sets (same value as the
+    string-set Jaccard up to a ~2^-62-per-pair hash collision). Measured
+    first-run 23.5s -> ~3s, warm 2.7s -> ~1s at sf0.1 (bench_extra).
+
+    The (id, set_hashes, band_keys) base is localCheckpoint'ed ONCE:
+    the posting explode and BOTH verification join sides read the stored
+    blocks, so the UDF lineage runs a single time. The durable-pipeline
+    analog is the blocking_keys stage checkpoint (`plans/pipeline.py`).
     """
-    base = _with_token_set(df, id_col, text_col).localCheckpoint(eager=False)
-    hashed = base.withColumn(
-        "tok_hashes", F.transform("tok_set", lambda t: F.xxhash64(t))
+    from sbb_ned_spark.functions.hashing import make_shingle_minhash_udf
+
+    fused = make_shingle_minhash_udf(n_perms, n_bands, k=3)
+    base = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(_token_array(text_col), lambda t: F.xxhash64(t)).alias("th"),
+        )
+        .select("id", fused("th").alias("f"))
+        .select("id", "f.set_hashes", "f.band_keys")
+        .localCheckpoint(eager=False)
     )
-    bands_udf = make_minhash_band_udf(n_perms, n_bands)
-    keys = (
-        hashed.withColumn("bands", bands_udf("tok_hashes"))
-        .select("id", F.posexplode("bands").alias("band", "h"))
-        .select("id", F.concat_ws(":", "band", "h").alias("key"))
-    ).localCheckpoint(eager=False)
+    keys = base.select("id", F.explode("band_keys").alias("key"))
     cand = (
         keys.alias("l")
         .join(keys.alias("r"), "key")
@@ -264,8 +272,8 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    sa = base.select(F.col("id").alias("id_a"), F.col("tok_set").alias("set_a"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("tok_set").alias("set_b"))
+    sa = base.select(F.col("id").alias("id_a"), F.col("set_hashes").alias("set_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("set_hashes").alias("set_b"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
