@@ -32,7 +32,12 @@ from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
 
 
 def _token_array(text_col: str):
-    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    # one precompiled-regex extraction pass == split on \s+ then drop
+    # empties (extract-all of \S+ runs is the exact complement of a \s+
+    # split under Java regex), without the per-element filter lambda —
+    # the normalize.py measurement (split+filter 15.7s vs extract 2.0s
+    # at bench scale) applied to the dedup family (guide §4.1)
+    return F.regexp_extract_all(F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), 0)
 
 
 def _shingle_array(text_col: str, k: int = 3):
