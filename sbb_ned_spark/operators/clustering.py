@@ -29,9 +29,20 @@ def accepted_edges(scores: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
-    fwd = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    rev = edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    return fwd.unionByName(rev)
+    # ONE explode pass, not union(fwd, rev): a union evaluates its child
+    # subtree once per branch (Catalyst has no cross-branch common
+    # subexpression reuse), so the previous formulation re-ran the whole
+    # upstream lineage — a star-pass window, or on iteration 1 the full
+    # scoring chain behind a lazy localCheckpoint — twice per iteration,
+    # with the two branches racing to populate the same checkpoint blocks
+    # ("Block rdd_N already exists" warnings). Same output multiset.
+    p = F.explode(
+        F.array(
+            F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+            F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v")),
+        )
+    ).alias("e")
+    return edges.select(p).select("e.u", "e.v")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -168,9 +179,14 @@ def connected_components(
         )
         # materialize the input once: each star pass consumes its input
         # twice (group-by min + join), which would otherwise re-run the
-        # full scoring lineage on every iteration. eager=False: the first
-        # fingerprint action is the materializing pass.
-        cur = cur.localCheckpoint(eager=False)
+        # full scoring lineage on every iteration. eager=True for THIS
+        # first checkpoint only: its first consumer is iteration 1's
+        # star round, whose plan reads the blocks from multiple operators
+        # — lazy blocks would be raced/duplicated there, re-running the
+        # scoring lineage concurrently. The per-iteration checkpoints
+        # below stay lazy because their materializing action is the
+        # single-scan fingerprint aggregate.
+        cur = cur.localCheckpoint(eager=True)
         n_iter = 0
         # no pre-loop fingerprint: it cost one full driver barrier and only
         # ever detected the (rare) already-star-form input one round early

@@ -128,10 +128,15 @@ def run_pipeline(
     collect_lineage: bool = False,
     light: bool = False,
 ) -> PipelineResult:
-    """``light=True`` skips the per-stage count() barriers (rows_out=None):
-    stages persist lazily and materialize on first downstream use, removing
-    four serial passes — the benchmark mode. Durable checkpoints imply the
-    counts anyway (the parquet write is a full pass).
+    """``light=True`` skips the per-stage count() barriers (rows_out=None)
+    for SINGLE-consumer stages: those persist lazily and materialize on
+    first downstream use — the benchmark mode. Multi-consumer stages
+    (features, blocking_keys) keep an eager count() even in light mode:
+    their cache is read by several independent exchange subtrees that AQE
+    runs as concurrent jobs, and a lazy cache makes each job recompute
+    the full lineage (see the eager_cache notes below). Durable
+    checkpoints imply the counts anyway (the parquet write is a full
+    pass).
 
     Checkpointing goes through the table-catalog seam
     (:mod:`sbb_ned_spark.sources.catalog`): each stage is a named table
@@ -172,11 +177,17 @@ def run_pipeline(
         upstream = manifest
         return df
 
-    def timed(stage: str, fn, rows_in: int | None = None, partition_by: tuple = ()):
+    def timed(
+        stage: str,
+        fn,
+        rows_in: int | None = None,
+        partition_by: tuple = (),
+        eager_cache: bool = False,
+    ):
         t0 = time.monotonic()
         df = finish_stage(stage, fn(), partition_by)
         n = None
-        if not light or root:
+        if not light or root or eager_cache:
             n = df.count()
         metrics.append(
             {
@@ -290,7 +301,18 @@ def run_pipeline(
                     F.pmod(F.xxhash64("repo"), F.lit(config.features_partition_buckets)),
                 )
             return df
-        feats, n_files = timed("features", build_features, partition_by=part)
+        # eager_cache even in light mode (round 6, measured via event log):
+        # the scoring query consumes `feats` through THREE independent
+        # exchange subtrees (pairs chain, fa side, fb side), and AQE
+        # materializes independent subtrees as CONCURRENT jobs — with a
+        # lazily-persisted cache each job races to compute the full Arrow-
+        # UDF feature lineage itself ("Block rdd_N already exists" in the
+        # bench stderr), duplicating the pipeline's most expensive per-row
+        # stage 2-3x. One count() barrier populates the cache once; every
+        # subtree then reads stored blocks.
+        feats, n_files = timed(
+            "features", build_features, partition_by=part, eager_cache=True
+        )
 
     # ---- Stage 1b: blocking keys (with hot-key cutoff) ----------------------
     if (m := resumable("blocking_keys")) is not None:
@@ -300,7 +322,11 @@ def run_pipeline(
         keys = blocking.blocking_keys(feats, config)
         cold_raw, hot = blocking.split_hot_keys(keys, config)
         hot_n = None if light else hot.count()
-        cold, _ = timed("blocking_keys", lambda: cold_raw, rows_in=n_files)
+        # eager_cache: the candidate self-join reads `cold` on BOTH sides —
+        # same concurrent-materialization race as `feats` above
+        cold, _ = timed(
+            "blocking_keys", lambda: cold_raw, rows_in=n_files, eager_cache=True
+        )
         metrics[-1]["hot_keys_dropped"] = hot_n
 
     # ---- Stage 1c: candidate pairs -------------------------------------------
