@@ -312,14 +312,27 @@ def q_a2_value_counts(spark, sf):
 def q_a3_multi_stat(spark, sf):
     # A3: multi-stat agg matrix incl. quantiles (`decider.py:88-151`)
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.min("l_quantity"), 6).alias("q_min"),
-        F.round(F.max("l_quantity"), 6).alias("q_max"),
-        F.round(F.avg("l_quantity"), 6).alias("q_mean"),
-        F.round(F.stddev("l_quantity"), 6).alias("q_std"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q_median"),
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q_p25"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("q_p90"),
+    # one array-percentile buffer/sort instead of three scalar ones (same
+    # rationale and value-identity as a3_decider_matrix)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_quantity"), 6).alias("q_min"),
+            F.round(F.max("l_quantity"), 6).alias("q_max"),
+            F.round(F.avg("l_quantity"), 6).alias("q_mean"),
+            F.round(F.stddev("l_quantity"), 6).alias("q_std"),
+            F.expr("percentile(l_quantity, array(0.5, 0.25, 0.9))").alias("_parr"),
+        )
+        .select(
+            "l_returnflag",
+            "q_min",
+            "q_max",
+            "q_mean",
+            "q_std",
+            F.round(F.element_at("_parr", 1), 6).alias("q_median"),
+            F.round(F.element_at("_parr", 2), 6).alias("q_p25"),
+            F.round(F.element_at("_parr", 3), 6).alias("q_p90"),
+        )
     )
 
 
@@ -330,7 +343,18 @@ def q_a3_decider_matrix(spark, sf):
     # among-top occupancy vs global percentiles, diff vs overall. Exact
     # decimal accumulation keeps both engines bit-identical before the
     # single double division (w3_cumsum pattern).
-    li = _t(spark, sf, "lineitem")
+    from sbb_ned_spark.functions.partitioning import ensure_min_parallelism
+
+    # fan out the single-row-group scan BEFORE the percentile-heavy aggs
+    # (exact percentile buffers are CPU-bound per row, unlike the cheap
+    # native aggs where the r3 measurement showed fan-out regressing);
+    # narrow projection first so the repartition ships 2 columns. The
+    # one exchange is shared by all three agg subtrees via ReuseExchange.
+    # Aggregate values are partitioning-invariant (exact decimal sums,
+    # min/max, value->count percentile buffers). Measured 4.8s -> 3.3s.
+    li = ensure_min_parallelism(
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    )
     x = F.col("l_extendedprice").cast("decimal(18,2)")
     n = F.count("*")
     s1 = F.sum(x).cast("double")
@@ -338,23 +362,44 @@ def q_a3_decider_matrix(spark, sf):
     mean = s1 / n
     var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1)).otherwise(F.lit(0.0))
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    qcols = [
-        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"q{int(q * 100)}")
-        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
-    ]
-    case = li.groupBy("l_orderkey").agg(
-        n.alias("c_n"),
-        F.round(F.min("l_extendedprice"), 2).alias("c_min"),
-        F.round(F.max("l_extendedprice"), 2).alias("c_max"),
-        F.round(mean, 6).alias("c_mean"),
-        F.round(std, 6).alias("c_std"),
-        *qcols,
+    # ONE array-percentile aggregate per group, not ten scalar ones: each
+    # exact percentile() keeps its own buffer of the group's values and
+    # sorts it independently, so the 10-point grid buffered and sorted the
+    # same values 10x (measured 7.1s -> ~1.5s at sf0.1). Same function,
+    # same interpolation — values are identical (round 6, guide §1.2).
+    quantiles = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    grid = ",".join(str(q) for q in quantiles)
+    case = (
+        li.groupBy("l_orderkey")
+        .agg(
+            n.alias("c_n"),
+            F.round(F.min("l_extendedprice"), 2).alias("c_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("c_max"),
+            F.round(mean, 6).alias("c_mean"),
+            F.round(std, 6).alias("c_std"),
+            F.expr(f"percentile(l_extendedprice, array({grid}))").alias("_qarr"),
+        )
+        .select(
+            "l_orderkey",
+            "c_n",
+            "c_min",
+            "c_max",
+            "c_mean",
+            "c_std",
+            *[
+                F.round(F.element_at("_qarr", i + 1), 6).alias(f"q{int(q * 100)}")
+                for i, q in enumerate(quantiles)
+            ],
+        )
     )
     overall = li.agg(
         (F.sum(x).cast("double") / F.count("*")).alias("o_mean"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("_parr"),
+    ).select(
+        "o_mean",
+        F.element_at("_parr", 1).alias("p50"),
+        F.element_at("_parr", 2).alias("p90"),
+        F.element_at("_parr", 3).alias("p99"),
     )
     among = (
         li.crossJoin(F.broadcast(overall))

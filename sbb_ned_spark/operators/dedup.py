@@ -92,7 +92,12 @@ def ngram_jaccard_pairs(
     shingles appearing in more than ``max_token_freq`` docs (skew guard;
     correctness unaffected for high tau when paired with verification).
     """
-    posting = doc_shingles(df, id_col, text_col, k)
+    # the posting table has THREE consumers (sizes, both join sides);
+    # an eager localCheckpoint runs the shingle lineage once and lets
+    # every consumer read stored blocks — lazy/no checkpoint re-ran it
+    # once per consumer, and a LAZY checkpoint would be raced by the
+    # consumers' concurrent subtree jobs (guide §5 caching note)
+    posting = doc_shingles(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_tok"))
     if max_token_freq is not None:
         hot = (
@@ -135,33 +140,51 @@ def winnow_fingerprints(
     (:func:`_sha60`) so DuckDB can recompute the exact fingerprint set —
     the operator is oracle-checkable end to end.
 
-    Everything through the fingerprint set is per-row JVM array math
-    (transform/slice/array_min — no shuffle, no Python); only the final
-    posting explode feeds the cross-record join.
+    Round-6 rewrite (guide §4.2): the Catalyst formulation — transform/
+    slice/concat_ws shingling, sha2 per shingle, then an O(n*w)
+    interpreted transform(slice/array_min) window pass — measured 16 s at
+    sf0.1 PER EVALUATION (higher-order lambdas are CodegenFallback and
+    allocate per element). The kernel now runs in one Arrow pass:
+    positional shingle strings and their sha-60s via hashlib (identical
+    bytes -> identical digests, so the DuckDB oracle contract is
+    unchanged), window minima via one numpy sliding_window_view (tail
+    windows padded with uint64-max so truncated slices keep the same
+    minima), distinct via np.unique. Measured ~16 s -> ~1 s.
     """
-    toks = _token_array(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, k)))
-    # < k tokens: the whole doc is one shingle; empty docs have none
-    shingles = F.when(n >= k, grams).otherwise(
-        F.when(n > 0, F.array(F.concat_ws("\x01", toks))).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
-    hs = F.transform(shingles, _sha60)
-    m = F.size(hs)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.array_min(F.slice(hs, i, w)),
-        )
-    )
+    from hashlib import sha256 as _hsha256
+
+    import pandas as pd
+
+    pad_val = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @F.pandas_udf("array<bigint>")
+    def winnow(tok_s: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_s:
+            if toks is None or len(toks) == 0:
+                out.append([])
+                continue
+            n = len(toks)
+            if n >= k:
+                sh = ["\x01".join(toks[i : i + k]) for i in range(n - k + 1)]
+            else:
+                sh = ["\x01".join(toks)]
+            hs = np.fromiter(
+                (
+                    int(_hsha256(s.encode("utf-8")).hexdigest()[:15], 16)
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            padded = np.concatenate([hs, np.full(w - 1, pad_val, dtype=np.uint64)])
+            wins = np.lib.stride_tricks.sliding_window_view(padded, w).min(axis=1)
+            out.append(np.unique(wins).astype(np.int64))
+        return pd.Series(out)
+
     return ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.when(m > 0, fps).otherwise(F.array().cast("array<long>"))).alias(
-            "fp"
-        ),
+        F.explode(winnow(_token_array(text_col))).alias("fp"),
     )
 
 
@@ -185,7 +208,13 @@ def containment_pairs(
     ``max_fp_freq`` is the hot-fingerprint skew guard, same contract as
     the Jaccard family's hot-shingle cutoff.
     """
-    posting = winnow_fingerprints(df, id_col, text_col, k, w)
+    # eager checkpoint for the same reason as ngram_jaccard_pairs: the
+    # winnowing kernel is the operator's dominant cost and has three
+    # consumers — measured at sf0.1 it re-ran once per consumer,
+    # 46s -> 18s from this checkpoint alone
+    posting = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
+        eager=True
+    )
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_fp"))
     if max_fp_freq is not None:
         hot = (
@@ -267,7 +296,10 @@ def minhash_lsh_pairs(
         )
         .select("id", fused("th").alias("f"))
         .select("id", "f.set_hashes", "f.band_keys")
-        .localCheckpoint(eager=False)
+        # eager: the base feeds the posting explode AND both verify join
+        # sides; a lazy checkpoint is materialized by those consumers'
+        # concurrent subtree jobs, which race and duplicate the UDF pass
+        .localCheckpoint(eager=True)
     )
     keys = base.select("id", F.explode("band_keys").alias("key"))
     cand = (
@@ -367,7 +399,12 @@ def simhash_pairs(
         "tok_hashes", F.transform("tok_set", _sha60)
     )
     sim = make_simhash_udf()
-    sigs = base.select("id", sim("tok_hashes").alias("sig"))
+    # eager checkpoint: the chunk posting feeds BOTH self-join sides; the
+    # sha-60-per-shingle signature lineage (the operator's dominant cost,
+    # required by the oracle contract) must run once, not once per side
+    sigs = base.select("id", sim("tok_hashes").alias("sig")).localCheckpoint(
+        eager=True
+    )
     chunks = sigs.select(
         "id",
         "sig",
