@@ -150,3 +150,73 @@ def test_containment_hot_fp_cutoff_only_shrinks(spark, docs):
     allp = dedup.containment_pairs(docs, "doc_id", "text", tau=0.8)
     capped = dedup.containment_pairs(docs, "doc_id", "text", tau=0.8, max_fp_freq=2)
     assert capped.count() <= allp.count()
+
+
+def test_fused_shingle_minhash_matches_string_shingles(spark, docs):
+    """Round-6 internals pin: the fused Arrow kernel's hashed shingle sets
+    must reproduce the string-shingle formulation exactly — same distinct
+    count per doc and the same verified Jaccard for every pair (hash
+    collisions would show up here and in the DuckDB oracle)."""
+    from sbb_ned_spark.functions.hashing import make_shingle_minhash_udf
+
+    fused = make_shingle_minhash_udf(64, 16, k=3)
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        fused(
+            F.transform(
+                F.regexp_extract_all(
+                    F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+                ),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("f"),
+    ).select("id", F.size("f.set_hashes").alias("n_hashed"))
+    strsets = dedup._with_token_set(docs, "doc_id", "text").select(
+        "id", F.size("tok_set").alias("n_str")
+    )
+    mismatch = (
+        hashed.join(strsets, "id")
+        .filter(F.col("n_hashed") != F.col("n_str"))
+        .count()
+    )
+    assert mismatch == 0
+    # pairwise: hashed-set Jaccard == string-set Jaccard (the operator's
+    # verified output) on this corpus
+    lsh = dedup.minhash_lsh_pairs(docs, "doc_id", "text", tau=0.8)
+    brute = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", tau=0.8)
+    l = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh.collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"] for r in brute.collect()}
+    assert l == b
+
+
+def test_winnow_kernel_matches_sha60_reference(spark):
+    """Round-6 internals pin: the numpy winnowing kernel must emit exactly
+    the sha-60 window minima of the positional shingles (independent pure-
+    Python reference, truncated tail windows included)."""
+    from hashlib import sha256
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two"),  # < k tokens: whole doc is one shingle
+        (3, ""),  # empty: no fingerprints
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["id"]: set()
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    for r in dedup.winnow_fingerprints(df, "doc_id", "text").collect():
+        got[r["id"]].add(r["fp"])
+    k, w = 3, 4
+    for doc_id, text in texts:
+        toks = text.lower().strip().split()
+        if not toks:
+            assert doc_id not in got
+            continue
+        if len(toks) >= k:
+            sh = ["\x01".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            sh = ["\x01".join(toks)]
+        hs = [int(sha256(s.encode()).hexdigest()[:15], 16) for s in sh]
+        expect = {min(hs[i : i + w]) for i in range(len(hs))}
+        assert got[doc_id] == expect, doc_id
