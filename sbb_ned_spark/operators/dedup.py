@@ -324,50 +324,61 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def make_simhash_udf(bits: int = 64, slab_tokens: int = 1 << 17):
-    """pandas UDF: array<bigint> token hashes -> bigint SimHash.
-
-    Whole-batch kernel (the ragged-bincount pattern of
+def batch_simhash(
+    hash_rows: list, n_rows: int, bits: int = 64, slab_tokens: int = 1 << 17
+) -> np.ndarray:
+    """Whole-batch SimHash kernel (the ragged-bincount pattern of
     ``functions.similarity.batch_set_intersections``): flatten every row's
     hashes into one (L, bits) bit matrix, per-row bit votes via ONE
     ``add.reduceat`` over the row boundaries, majority -> signature via a
     single weighted sum. Bit b is set iff strictly more than half the
-    tokens have bit b set (2*ones > len), identical to the +1/-1 vote."""
+    tokens have bit b set (2*ones > len), identical to the +1/-1 vote.
+
+    ``hash_rows`` yields per-row uint64 arrays (or None/empty -> signature
+    0); returns an int64 signature per row. Slab budget (ADVICE r4 #3):
+    the (tokens, bits) int64 bit matrix costs bits*8 bytes per token hash
+    (~512 B at 64 bits). Unbounded, a 10k-row Arrow batch of ~1k-token
+    documents would peak ~5 GB; slabbing at 128k token hashes caps the
+    matrix at 64 MiB while keeping the reduceat fully vectorized within
+    each slab. A single over-budget row still processes (its own slab) —
+    per-row cost is irreducible."""
     ar = np.arange(bits, dtype=np.uint64)
-    # Slab budget (ADVICE r4 #3): the (tokens, bits) int64 bit matrix costs
-    # bits*8 bytes per token hash (~512 B at 64 bits). Unbounded, a 10k-row
-    # Arrow batch of ~1k-token documents would peak ~5 GB; slabbing at 128k
-    # token hashes caps the matrix at 64 MiB while keeping the reduceat
-    # fully vectorized within each slab. A single over-budget row still
-    # processes (its own slab) — per-row cost is irreducible.
+    one = np.uint64(1)
+    weights = one << ar
+    out = np.zeros(n_rows, dtype=np.uint64)
+    rows: list[tuple[int, np.ndarray]] = []
+    for i, arr in enumerate(hash_rows):
+        if arr is None or len(arr) == 0:
+            continue
+        rows.append((i, np.asarray(arr, dtype=np.int64).astype(np.uint64)))
+    pos = 0
+    while pos < len(rows):
+        end, tok = pos, 0
+        while end < len(rows) and (end == pos or tok + rows[end][1].size <= slab_tokens):
+            tok += rows[end][1].size
+            end += 1
+        slab = rows[pos:end]
+        vals = np.concatenate([a for _, a in slab])
+        lens = np.array([a.size for _, a in slab], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        bit_matrix = ((vals[:, None] >> ar[None, :]) & one).astype(np.int64)
+        ones = np.add.reduceat(bit_matrix, starts, axis=0)  # (slab_rows, bits)
+        majority = (2 * ones) > lens[:, None]
+        idx = np.fromiter((i for i, _ in slab), dtype=np.int64, count=len(slab))
+        out[idx] = (majority.astype(np.uint64) * weights).sum(axis=1)
+        pos = end
+    return out.astype(np.int64)
+
+
+def make_simhash_udf(bits: int = 64, slab_tokens: int = 1 << 17):
+    """pandas UDF: array<bigint> token hashes -> bigint SimHash (wraps
+    :func:`batch_simhash`)."""
+
     @F.pandas_udf("long")
     def simhash(tok_hashes: pd.Series) -> pd.Series:
-        n = len(tok_hashes)
-        out = np.zeros(n, dtype=np.uint64)
-        one = np.uint64(1)
-        weights = one << ar
-        rows: list[tuple[int, np.ndarray]] = []
-        for i, arr in enumerate(tok_hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            rows.append((i, np.asarray(arr, dtype=np.int64).astype(np.uint64)))
-        pos = 0
-        while pos < len(rows):
-            end, tok = pos, 0
-            while end < len(rows) and (end == pos or tok + rows[end][1].size <= slab_tokens):
-                tok += rows[end][1].size
-                end += 1
-            slab = rows[pos:end]
-            vals = np.concatenate([a for _, a in slab])
-            lens = np.array([a.size for _, a in slab], dtype=np.int64)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            bit_matrix = ((vals[:, None] >> ar[None, :]) & one).astype(np.int64)
-            ones = np.add.reduceat(bit_matrix, starts, axis=0)  # (slab_rows, bits)
-            majority = (2 * ones) > lens[:, None]
-            idx = np.fromiter((i for i, _ in slab), dtype=np.int64, count=len(slab))
-            out[idx] = (majority.astype(np.uint64) * weights).sum(axis=1)
-            pos = end
-        return pd.Series(out.astype(np.int64))
+        return pd.Series(
+            batch_simhash(list(tok_hashes), len(tok_hashes), bits, slab_tokens)
+        )
 
     return simhash
 
@@ -394,16 +405,58 @@ def simhash_pairs(
     Token hashes are the sha256-derived 60-bit family (:func:`_sha60`) so
     the signature is reproducible in ANSI-ish SQL — the driver oracle
     recomputes the full SimHash in DuckDB and compares pairs exactly.
+
+    Round-6 kernel (guide §4.2): shingle construction + sha-60 moved from
+    the interpreted Catalyst chain (_shingle_array's transform/concat_ws/
+    slice lambdas + a sha2-per-element transform) into ONE Arrow pass —
+    distinct k-gram shingle strings via dict.fromkeys, hashlib sha256 on
+    the identical UTF-8 bytes (same digests, so the DuckDB oracle
+    contract is unchanged), then the whole-batch :func:`batch_simhash`
+    vote kernel. Bit-identical signatures, one Python round-trip.
     """
-    base = _with_token_set(df, id_col, text_col).withColumn(
-        "tok_hashes", F.transform("tok_set", _sha60)
-    )
-    sim = make_simhash_udf()
+    from hashlib import sha256 as _hsha256
+
+    k = 3  # _shingle_array's default — the oracle recomputes with k=3
+
+    @F.pandas_udf("long")
+    def shingle_sha60_simhash(tok_s: pd.Series) -> pd.Series:
+        rows = []
+        for toks in tok_s:
+            if toks is None or len(toks) == 0:
+                rows.append(None)
+                continue
+            n = len(toks)
+            if n >= k:
+                # dict.fromkeys == array_distinct (first-occurrence order;
+                # order is irrelevant to the bit votes anyway)
+                sh = dict.fromkeys(
+                    "\x01".join(toks[i : i + k]) for i in range(n - k + 1)
+                )
+            else:
+                sh = dict.fromkeys(toks)
+            rows.append(
+                np.fromiter(
+                    (
+                        int(_hsha256(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+            )
+        return pd.Series(batch_simhash(rows, len(tok_s)))
+
     # eager checkpoint: the chunk posting feeds BOTH self-join sides; the
-    # sha-60-per-shingle signature lineage (the operator's dominant cost,
-    # required by the oracle contract) must run once, not once per side
-    sigs = base.select("id", sim("tok_hashes").alias("sig")).localCheckpoint(
-        eager=True
+    # signature lineage (the operator's dominant cost) must run once, not
+    # once per side — and a lazy checkpoint would be raced by the sides'
+    # concurrent subtree jobs
+    sigs = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_sha60_simhash(_token_array(text_col)).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
     )
     chunks = sigs.select(
         "id",
