@@ -84,12 +84,15 @@ class PipelineConfig:
     decision_threshold: float = 0.62
     cc_max_iterations: int = 25
     cc_checkpoint_every: int = 1      # checkpoint() each CC iteration
-    # convergence fingerprint cadence. Round 2 set this to 2 assuming a
+    # convergence-check cadence (name kept from the fingerprint era so
+    # config hashes stay meaningful). Round 2 set this to 2 assuming a
     # converged star round is cheaper than a driver barrier; measured at
     # bench4/8-cores (round 3, interleaved) the opposite holds: each star
     # round is 4-5 small shuffles, so checking every round stops at the
-    # true convergence point (typically 2 rounds post-collapse) instead
-    # of overshooting to 4 — clusters stage 33.6s -> 23.9/24.8s.
+    # true convergence point instead of overshooting — clusters stage
+    # 33.6s -> 23.9/24.8s. Round 6 replaced the fingerprint-equality test
+    # with the structural star-form test (clustering._converged_star_form),
+    # which detects the fixpoint WITHOUT the extra confirm round.
     cc_fingerprint_every: int = 1
 
     # --- execution ------------------------------------------------------------

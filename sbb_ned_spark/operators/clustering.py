@@ -99,12 +99,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("id_a") != F.col("id_b")).distinct()
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(id_a, id_b))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _converged_star_form(edges: DataFrame) -> bool:
+    """True iff the edge set is a star forest: every ``id_a`` points at
+    exactly one ``id_b`` and no node appears on both sides (no chains).
+
+    That is EXACTLY the large-star/small-star fixpoint: on a star forest
+    large-star re-emits the same member->root edges and small-star's
+    per-root minimum is the root itself, so the next round is a no-op —
+    and conversely any non-star edge set changes under the next round.
+    Because small-star only ever emits ``id_b = min(N<=(u) ∪ u) < id_a``
+    and both passes preserve connectivity, a star forest's root is its
+    component's global minimum, so stopping here yields the same labels.
+
+    Round-6 convergence test (replaces the fingerprint-equality check):
+    fingerprints could only detect stabilization ONE ROUND LATE — the
+    loop always paid a full confirm round of 2 window shuffles + a
+    distinct on an already-converged edge set. This structural test
+    detects convergence at the true fixpoint iteration, in the same
+    single aggregate job that materializes the iteration's checkpoint
+    (explode is narrow; one groupBy node)."""
+    id_t = dict(edges.dtypes)["id_b"]
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("n"),
+                    F.lit(1).alias("a"),
+                    F.lit(0).alias("b"),
+                    F.col("id_b").alias("partner"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("n"),
+                    F.lit(0).alias("a"),
+                    F.lit(1).alias("b"),
+                    F.lit(None).cast(id_t).alias("partner"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.n", "e.a", "e.b", "e.partner")
+    bad = (
+        e.groupBy("n")
+        .agg(
+            F.max("a").alias("ha"),
+            F.max("b").alias("hb"),
+            F.countDistinct("partner").alias("np"),
+        )
+        .filter(((F.col("ha") == 1) & (F.col("hb") == 1)) | (F.col("np") > 1))
+        .limit(1)
+        .count()
+    )
+    return bad == 0
 
 
 def connected_components(
@@ -188,9 +232,6 @@ def connected_components(
         # single-scan fingerprint aggregate.
         cur = cur.localCheckpoint(eager=True)
         n_iter = 0
-        # no pre-loop fingerprint: it cost one full driver barrier and only
-        # ever detected the (rare) already-star-form input one round early
-        prev_fp: tuple[int, int] | None = None
         every = max(1, config.cc_fingerprint_every)
         for i in range(config.cc_max_iterations):
             n_iter = i + 1
@@ -200,15 +241,16 @@ def connected_components(
             cur = _small_star(sym2)
             if config.cc_checkpoint_every and n_iter % config.cc_checkpoint_every == 0:
                 cur = cur.localCheckpoint(eager=False)
-            # the fingerprint is a BARRIER (one driver action per check);
-            # star rounds on an already-converged edge set are cheap, so
-            # checking every `every` rounds trades at most (every-1) extra
-            # cheap rounds for half the latency-bound barriers
+            # the convergence check is a BARRIER (one driver action per
+            # check, which is also the pass that materializes the lazy
+            # checkpoint above). The structural star-form test stops at
+            # the TRUE fixpoint iteration — the old fingerprint-equality
+            # check always needed one extra confirm round to see "no
+            # change" (measured: n_iter 3 -> 2 on the bench fixtures,
+            # saving two window shuffles + a distinct per CC call).
             if n_iter % every == 0 or n_iter == config.cc_max_iterations:
-                fp = _edge_fingerprint(cur)
-                if fp == prev_fp:
+                if _converged_star_form(cur):
                     break
-                prev_fp = fp
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

@@ -97,3 +97,44 @@ def test_binary_codec_rejects_string_edges_loudly(spark):
     with pytest.raises(TypeError) as ei:
         connected_components(e, n, PipelineConfig(), id_codec="binary")
     assert "stale string-id checkpoint" in str(ei.value)
+
+
+def test_star_form_convergence_test(spark):
+    """Round-6 internals pin: the structural convergence test must accept
+    exactly star forests — member->root edges, one distinct root per
+    member, no node on both sides — and reject chains and multi-root
+    members (the shapes another star round would still change)."""
+    from sbb_ned_spark.operators.clustering import _converged_star_form
+
+    star = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("e", "d")], ["id_a", "id_b"]
+    )
+    assert _converged_star_form(star)
+    chain = spark.createDataFrame([("b", "a"), ("c", "b")], ["id_a", "id_b"])
+    assert not _converged_star_form(chain)
+    two_roots = spark.createDataFrame(
+        [("c", "a"), ("c", "b")], ["id_a", "id_b"]
+    )
+    assert not _converged_star_form(two_roots)
+
+
+def test_cc_stops_at_true_fixpoint_iteration(spark):
+    """A 3-chain converges to one star; with the structural test the loop
+    must not need a confirm round beyond the fixpoint iteration, and the
+    labels must still be the min id per component."""
+    from sbb_ned_spark.config import PipelineConfig
+    from sbb_ned_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("f", "e")], ["id_a", "id_b"]
+    )
+    records = spark.createDataFrame(
+        [(x,) for x in "abcdefg"], ["record_id"]
+    )
+    out = connected_components(edges, records, PipelineConfig())
+    got = {r["record_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e", "g": "g"
+    }
+    n_iter = out.select("n_iter").first()["n_iter"]
+    assert n_iter <= 3  # fingerprint-equality needed an extra confirm round
