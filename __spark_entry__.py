@@ -1223,8 +1223,15 @@ def q_er_incremental(spark, sf):
     h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(10))
     base_files, batch = files.filter(h < 7), files.filter(h >= 7)
     # fresh state root per call (deterministic output; the returned frame
-    # scans the swapped clusters table, so the dir must outlive the query)
-    cfg = PipelineConfig(checkpoint_dir=tempfile.mkdtemp(prefix="er_inc_"))
+    # scans the swapped clusters table, so the dir must outlive the query
+    # — registered for interpreter-exit cleanup so repeated driver/oracle
+    # runs don't accumulate checkpoint trees in /tmp, ADVICE r5 low #2)
+    import atexit
+    import shutil
+
+    state_dir = tempfile.mkdtemp(prefix="er_inc_")
+    atexit.register(shutil.rmtree, state_dir, True)
+    cfg = PipelineConfig(checkpoint_dir=state_dir)
     P.run_pipeline(base_files, cfg)
     res = I.incremental_update(batch, cfg)
     return res.clusters.select("record_id", "cluster_id")
@@ -1232,105 +1239,98 @@ def q_er_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries per round.
-    # Round-4 priority: the three entries that had NEVER had a driver row
-    # (p3/p8/a8, formerly below the cap), er_clusters with its first value
-    # oracle, then rounds 2-3's changed blocks; long-green trivial basics
-    # rotate to the tail (green in earlier rounds and re-verified every
-    # session by the local sf0.01 oracle replica, tests/test_entry_oracle).
+    # Round-6 priority (VERDICT r5 ask #7 — keep the window rotating):
+    # (1) every query whose PLAN changed in the round-6 optimization pass
+    #     (dedup family, ANN family, a3 quantile grids, the ER pipeline
+    #     queries) — changed entries must get a driver row;
+    # (2) the 26-query tail whose last driver row was r1–r4 (rotated out
+    #     of the r5 window; re-verified every session by the local sf0.01
+    #     oracle replica, tests/test_entry_oracle) — rotates back IN;
+    # (3) the bench-headline natives + round-5's newly-added operators —
+    #     all driver-green in r5 — fill the remaining slots / tail.
     return {
-        # --- never driver-checked before round 4 (were at positions 64-66,
-        # below the 50-query cap — VERDICT r3 ask #1) ----------------------
-        "p3_flag_filter": q_p3_flag_filter,
-        "p8_first_word_filter": q_p8_first_word_filter,
-        "a8_grouped_assembly": q_a8_grouped_assembly,
-        # --- first VALUE oracle this round (was the one rows-only entry) --
-        "er_clusters": q_er_clusters,
-        # --- NEW end of round 5: batch-incremental ER, same planted-truth
-        # oracle — the driver verifies incremental == from-scratch ----------
-        "er_incremental": q_er_incremental,
-        # --- NEW this round: J10/F2/F5 retired from partial ----------------
-        "j10_gt_alignment": q_j10_gt_alignment,
-        # --- NEW round 5: J8/J9/O2 as a direct contract query --------------
-        "j8_decision_merge": q_j8_decision_merge,
-        "f2_dehyphenate": q_f2_dehyphenate,
-        "f5_stem": q_f5_stem,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        # --- NEW end of round 5: containment dedup (winnowing) -------------
+        # --- (1) plans changed in round 6 ---------------------------------
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_containment": q_dedup_containment,
-        # --- NEW end of round 5: corpus-cleaning family (C4 chunk dedup,
-        # Gopher repetition signals, PII scrub) ------------------------------
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "a3_multi_stat": q_a3_multi_stat,
+        "a3_decider_matrix": q_a3_decider_matrix,
+        "er_clusters": q_er_clusters,
+        "er_incremental": q_er_incremental,
+        # --- (2) last driver row r1–r4: rotate back in --------------------
+        "a6_global_totals": q_a6_global_totals,
+        "a7_distinct_first": q_a7_distinct_first,
+        "w1_rank": q_w1_rank,
+        "w2_norm_rank": q_w2_norm_rank,
+        "w3_cumsum": q_w3_cumsum,
+        "u1_union": q_u1_union,
+        "u2_intersect": q_u2_intersect,
+        "u3_except": q_u3_except,
+        "u5_split": q_u5_split,
+        "f1_tokenize": q_f1_tokenize,
+        "f4_translate": q_f4_translate,
+        "f7_string_predicates": q_f7_string_predicates,
+        "f8_date_extract": q_f8_date_extract,
+        "f10_log_odds": q_f10_log_odds,
+        "f11_softmax": q_f11_softmax,
+        "f12_run_length": q_f12_run_length,
+        "f14_sha2": q_f14_sha2,
+        "f15_json": q_f15_json,
+        "o1_multikey_topk": q_o1_multikey_topk,
+        "s1_full_scan": q_s1_full_scan,
+        "p1_projection": q_p1_projection,
+        "p2_filter_eq": q_p2_filter_eq,
+        "p4_threshold": q_p4_threshold,
+        "p12_fillna": q_p12_fillna,
+        "j_semi": q_j_semi,
+        "j_anti": q_j_anti,
+        # --- (3) bench headline + r5-green, filling the window ------------
+        "a1_group_ranking_stats": q_a1_group_ranking_stats,
+        "j3_broadcast_dim_join": q_j3_broadcast_dim_join,
+        "s2_per_key_limit": q_s2_per_key_limit,
+        "w5_session_renumber": q_w5_session_renumber,
+        "dedup_exact": q_dedup_exact,
         "dedup_chunk_lines": q_dedup_chunk_lines,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
-        # --- changed round 3 ----------------------------------------------------
+        "j8_decision_merge": q_j8_decision_merge,
+        "j10_gt_alignment": q_j10_gt_alignment,
         "p10_context_rerank": q_p10_context_rerank,
         "p10_temporal_rerank": q_p10_temporal_rerank,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "multimodal_features": q_multimodal_features,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # keep the whole dedup family inside the 50-query window (the
-        # training-data operators are graded first-class; the rotated-out
-        # tail is trivial scalar/set queries green since r1-r3)
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # ---- 50-query cap usually lands here ------------------------------
+        # driver-green in round 5, rotating to the tail this round (all
+        # still locally verified each session):
+        "p3_flag_filter": q_p3_flag_filter,
+        "p8_first_word_filter": q_p8_first_word_filter,
+        "a8_grouped_assembly": q_a8_grouped_assembly,
+        "f2_dehyphenate": q_f2_dehyphenate,
+        "f5_stem": q_f5_stem,
         "f9_haversine": q_f9_haversine,
-        # --- green since round 2 ------------------------------------------------
-        "w5_session_renumber": q_w5_session_renumber,
-        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_decode": q_multimodal_decode,
-        # --- green since round 1/2 ----------------------------------------------
-        "s2_per_key_limit": q_s2_per_key_limit,
         "p5_hot_key_filter": q_p5_hot_key_filter,
         "p6_sanity_filter": q_p6_sanity_filter,
         "p7_prefix_filter": q_p7_prefix_filter,
         "p9_temporal_filter": q_p9_temporal_filter,
         "p11_overlap_filter": q_p11_overlap_filter,
         "j2_hash_join": q_j2_hash_join,
-        "j3_broadcast_dim_join": q_j3_broadcast_dim_join,
         "j4_evidence_join": q_j4_evidence_join,
         "j5_bounded_cross": q_j5_bounded_cross,
         "j6_self_pairs": q_j6_self_pairs,
         "j7_good_bad_pairs": q_j7_good_bad_pairs,
         "j11_point_lookup": q_j11_point_lookup,
-        "a1_group_ranking_stats": q_a1_group_ranking_stats,
         "a2_value_counts": q_a2_value_counts,
-        "a3_multi_stat": q_a3_multi_stat,
-        "a3_decider_matrix": q_a3_decider_matrix,
         "a4_cumulative": q_a4_cumulative,
         "a5_mean_pool": q_a5_mean_pool,
-        "a6_global_totals": q_a6_global_totals,
-        "a7_distinct_first": q_a7_distinct_first,
-        "w1_rank": q_w1_rank,
-        "w2_norm_rank": q_w2_norm_rank,
-        "w3_cumsum": q_w3_cumsum,
-        "u2_intersect": q_u2_intersect,
-        "u3_except": q_u3_except,
-        "f1_tokenize": q_f1_tokenize,
-        "f8_date_extract": q_f8_date_extract,
-        "f11_softmax": q_f11_softmax,
-        "f12_run_length": q_f12_run_length,
-        "f10_log_odds": q_f10_log_odds,
-        "f15_json": q_f15_json,
-        # --- long-green trivial tail (rotates out under the 50-query cap) ----
-        "p12_fillna": q_p12_fillna,
-        "o1_multikey_topk": q_o1_multikey_topk,
-        "s1_full_scan": q_s1_full_scan,
-        "p1_projection": q_p1_projection,
-        "p2_filter_eq": q_p2_filter_eq,
-        "p4_threshold": q_p4_threshold,
-        "j_semi": q_j_semi,
-        "j_anti": q_j_anti,
-        "u1_union": q_u1_union,
-        "u5_split": q_u5_split,
-        "f4_translate": q_f4_translate,
-        "f7_string_predicates": q_f7_string_predicates,
-        "f14_sha2": q_f14_sha2,
     }
 
 
