@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         overrides["checkpoint_dir"] = args.checkpoint_dir
     if args.threshold is not None:
         overrides["decision_threshold"] = args.threshold
+    if args.incremental is not None and (args.resume or args.lineage):
+        # the incremental branch calls run_pipeline/incremental_update
+        # without these flags — silently ignoring them while the output
+        # JSON reported `"resumed": true` was ADVICE r5 low #1
+        ap.error("--incremental cannot be combined with --resume/--lineage")
     config = PipelineConfig(**overrides)
 
     spark = get_spark("sbb_ned_spark-er", master=args.master, config=config)

@@ -117,24 +117,46 @@ def _validate_state(catalog: TableCatalog, config: PipelineConfig) -> None:
     )
 
 
-def _replace_table(catalog: TableCatalog, spark, df: DataFrame, name: str) -> None:
+def _replace_table(
+    catalog: TableCatalog, spark, df: DataFrame, name: str, manifest: dict | None = None
+) -> None:
     """Atomically replace a table the new contents were COMPUTED FROM.
 
     Parquet cannot overwrite a directory a plan is still reading (the
     old files vanish mid-scan), so the parquet backend stages to
     ``<name>__staged`` and directory-swaps after the write completes.
-    Iceberg overwrites in place — readers pin the prior snapshot."""
+    Iceberg overwrites in place — readers pin the prior snapshot.
+
+    Crash-consistency (ADVICE r5 high+medium): ``manifest`` — normally
+    the caller's in-progress INVALID manifest — is pre-written into the
+    STAGED directory so the post-swap table carries it in the same
+    rename as the data, and the swap is rename-aside
+    (``mv dst dst__old; mv staged dst; rm dst__old``) instead of
+    rmtree-then-replace: a manifest-bearing directory now exists at
+    every instant except the microseconds between the two renames (the
+    old code's manifest-less window lasted a whole recursive delete, and
+    it then RESTORED the old still-valid manifest over the new data —
+    a crash before the caller's follow-up appends left a VALID-looking
+    but inconsistent state). The between-renames window is closed by the
+    consumer side: ``er_ingest.ingest_batch`` refuses to bootstrap while
+    a ``<name>__old`` / ``<name>__staged`` manifest exists."""
     if isinstance(catalog, ParquetCatalog):
         staged = f"{name}__staged"
+        catalog.drop_table(spark, staged)
         catalog.write_table(df, staged)
+        if manifest is not None:
+            catalog.write_manifest(staged, manifest)
         src, dst = catalog._path(staged), catalog._path(name)
-        manifest = catalog.read_manifest(name)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(src, dst)
-        if manifest is not None:  # the swap dropped the old manifest file
-            catalog.write_manifest(name, manifest)
+        old = catalog._path(f"{name}__old")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
     else:
         catalog.write_table(df, name)
+        if manifest is not None:
+            catalog.write_manifest(name, manifest)
 
 
 def _invalidate_stage(catalog: TableCatalog, spark, stage: str) -> None:
@@ -333,11 +355,25 @@ def incremental_update(
     final = timed("clusters", final)
 
     # ---- 6. durable state update ----------------------------------------------
-    # ORDER MATTERS: `final` and `scores` lineages scan the CURRENT
-    # features/exact_groups/clusters tables lazily; both are persisted +
-    # counted above (timed), and clusters is staged-then-swapped, so every
-    # read of the old state completes before any table changes underneath.
-    _replace_table(catalog, spark, final, "clusters")
+    # ORDER MATTERS twice over. Read-consistency: `final` and `scores`
+    # lineages scan the CURRENT features/exact_groups/clusters tables
+    # lazily; both are checkpointed + counted above (timed), and clusters
+    # is staged-then-swapped, so every read of the old state completes
+    # before any table changes underneath. Crash-consistency (ADVICE r5
+    # high): the FIRST durable action marks the clusters manifest
+    # invalid, every table mutation happens under that mark (the swap
+    # installs the same invalid manifest with the new data), and the
+    # VALID chain manifests are written LAST (clusters last in
+    # _STATE_CHAIN) — a crash anywhere in between leaves a
+    # present-but-invalid clusters manifest, so ingest_batch neither
+    # bootstraps nor validates: it raises, as documented.
+    in_progress = {
+        "stage": "clusters",
+        "invalidated_by": "incremental_update_in_progress",
+        "run_nonce": uuid.uuid4().hex,
+    }
+    catalog.write_manifest("clusters", in_progress)
+    _replace_table(catalog, spark, final, "clusters", manifest=in_progress)
     part_by = ("repo_bucket",) if config.features_partition_buckets else ()
     catalog.write_table(feats_b, "features", mode="append", partition_by=part_by)
     if membership_new is not None:

@@ -74,6 +74,22 @@ def ingest_batch(
     spark = batch_df.sparkSession
     catalog = get_catalog(spark, config.checkpoint_dir)
     if catalog.read_manifest("clusters") is None:
+        # Bootstrap ONLY when nothing suggests a prior state. A mid-swap
+        # crash in incremental_update._replace_table can leave the
+        # clusters dir momentarily absent but always leaves a
+        # manifest-bearing clusters__old / clusters__staged behind
+        # (ADVICE r5 medium) — bootstrapping over that would silently
+        # discard the prior corpus. A half-finished BOOTSTRAP, by
+        # contrast, never creates either artifact, so re-bootstrapping
+        # after a bootstrap crash still works.
+        for trace in ("clusters__old", "clusters__staged"):
+            if catalog.read_manifest(trace) is not None:
+                raise ValueError(
+                    "ingest_batch: no clusters manifest, but a mid-update "
+                    f"swap artifact exists ({trace}) — a crash interrupted "
+                    "incremental_update's state swap; inspect/repair the "
+                    "state root instead of bootstrap-overwriting it"
+                )
         res = P.run_pipeline(batch_df, config, scoring_method=scoring_method)
         n = next(
             (m["rows_out"] for m in res.metrics if m["stage"] == "clusters"), None

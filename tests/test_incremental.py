@@ -156,3 +156,59 @@ def test_incremental_rejects_in_batch_duplicate_ids(spark, tiny_files, tmp_path)
     doubled = b.limit(1).unionByName(b.limit(1))
     with pytest.raises(ValueError, match="duplicate record_id in batch"):
         I.incremental_update(doubled, cfg)
+
+
+def test_crash_between_swap_and_appends_fails_loudly(spark, tiny_files, tmp_path, monkeypatch):
+    """ADVICE r5 high: a crash after the clusters swap but before the
+    features append must leave a PRESENT-but-INVALID clusters manifest —
+    the next ingest neither bootstraps (prior corpus preserved) nor
+    validates (inconsistent state), it raises."""
+    from sbb_ned_spark.sources.catalog import ParquetCatalog
+    from sbb_ned_spark.streaming import er_ingest
+
+    a, b = _split(tiny_files, 10, 7)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "st"))
+    P.run_pipeline(a, cfg)
+
+    orig = ParquetCatalog.write_table
+
+    def crash_on_append(self, df, name, mode="overwrite", partition_by=()):
+        if name == "features" and mode == "append":
+            raise RuntimeError("simulated crash before the features append")
+        return orig(self, df, name, mode=mode, partition_by=partition_by)
+
+    monkeypatch.setattr(ParquetCatalog, "write_table", crash_on_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        I.incremental_update(b, cfg)
+    monkeypatch.undo()
+
+    # manifest is present (no bootstrap) but invalid (no silent resume)
+    from sbb_ned_spark.sources.catalog import get_catalog
+
+    catalog = get_catalog(spark, cfg.checkpoint_dir)
+    m = catalog.read_manifest("clusters")
+    assert m is not None and m.get("invalidated_by") == "incremental_update_in_progress"
+    with pytest.raises(ValueError):
+        I._validate_state(catalog, cfg)
+    with pytest.raises(ValueError):
+        er_ingest.ingest_batch(b, cfg)
+
+
+def test_ingest_refuses_bootstrap_over_swap_artifacts(spark, tiny_files, tmp_path):
+    """ADVICE r5 medium: the between-renames window of _replace_table can
+    leave no clusters dir but always leaves a manifest-bearing
+    clusters__old — ingest_batch must refuse to bootstrap over it."""
+    import shutil as sh
+
+    from sbb_ned_spark.sources.catalog import get_catalog
+    from sbb_ned_spark.streaming import er_ingest
+
+    a, b = _split(tiny_files, 10, 7)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "st"))
+    P.run_pipeline(a, cfg)
+    catalog = get_catalog(spark, cfg.checkpoint_dir)
+    # simulate the crash instant between the two renames
+    sh.move(catalog._path("clusters"), catalog._path("clusters__old"))
+    assert catalog.read_manifest("clusters") is None
+    with pytest.raises(ValueError, match="swap artifact"):
+        er_ingest.ingest_batch(b, cfg)
